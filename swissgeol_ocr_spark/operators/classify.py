@@ -1,0 +1,87 @@
+"""Page classification (C1) and conservative old-OCR detection (C2).
+
+Span-native reimplementations of the reference's bboxlog folds:
+
+* ``is_digitally_born``  — /root/reference/ocr/util.py:4-35
+* ``find_old_ocr_spans`` — /root/reference/ocr/preprocess/clean.py:7-42
+
+Span kinds map onto the reference's bboxlog box types:
+
+    'text'     ↔ fill-text / stroke-text   (visible text draw)
+    'path'     ↔ fill-path                 (vector ink)
+    'media'    ↔ fill-image / fill-imgmask (raster content)
+    'ocr-text' ↔ ignore-text               (invisible/hidden OCR layer)
+
+Both are order-sensitive folds over the page's spans in ``offset`` order —
+exactly what the spans array gives us. They run per page inside the Arrow
+kernel; no Spark shuffle is involved.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from swissgeol_ocr_spark.functions.geom import Rect
+
+# integer kind codes used throughout the kernels
+KIND_TEXT = 0
+KIND_PATH = 1
+KIND_MEDIA = 2
+KIND_OCR = 3
+
+KIND_CODES = {"text": KIND_TEXT, "path": KIND_PATH, "media": KIND_MEDIA, "ocr-text": KIND_OCR}
+KIND_NAMES = {v: k for k, v in KIND_CODES.items()}
+
+
+def encode_kinds(kinds: "list[str]") -> np.ndarray:
+    return np.array([KIND_CODES.get(k, KIND_PATH) for k in kinds], dtype=np.int8)
+
+
+def is_digitally_born(kinds: np.ndarray, rects: np.ndarray) -> bool:
+    """A page is digitally born iff it has visible text not all covered by a
+    single image, or no image at all (util.py:4-35).
+
+    Fold in draw (offset) order: visible text grows the union and resets the
+    covered flag; an image containing the whole union sets it. Empty text
+    rects are ignored (util.py:26-27).
+    """
+    union = Rect()
+    all_text_covered = False
+    has_image = False
+    for k, (x0, y0, x1, y1) in zip(kinds, rects):
+        rect = Rect(x0, y0, x1, y1)
+        if k == KIND_TEXT and not rect.is_empty:
+            all_text_covered = False
+            union = union | rect
+        elif k == KIND_MEDIA:
+            has_image = True
+            if rect.contains(union):
+                all_text_covered = True
+    return not (has_image and (union.is_empty or all_text_covered))
+
+
+def find_old_ocr_spans(kinds: np.ndarray, rects: np.ndarray) -> list[int]:
+    """Indices of spans to strip as stale OCR (clean.py:7-42).
+
+    Always the 'ocr-text' (ignore-text) spans; additionally the visible
+    text spans when they are all covered by a single image (the
+    Tiefenbrunnen/Lostorf pattern, clean.py:17-19).
+    """
+    ignore_idx: list[int] = []
+    visible_idx: list[int] = []
+    union = Rect()
+    all_text_covered = False
+    for i, (k, (x0, y0, x1, y1)) in enumerate(zip(kinds, rects)):
+        rect = Rect(x0, y0, x1, y1)
+        if k == KIND_TEXT and not rect.is_empty:
+            all_text_covered = False
+            union = union | rect
+            visible_idx.append(i)
+        elif k == KIND_MEDIA:
+            if rect.contains(union):
+                all_text_covered = True
+        elif k == KIND_OCR:
+            ignore_idx.append(i)
+    if all_text_covered:
+        return visible_idx + ignore_idx
+    return ignore_idx

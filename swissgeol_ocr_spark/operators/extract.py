@@ -1,0 +1,191 @@
+"""Per-document extraction kernel — the composition the reference runs per
+page (/root/reference/ocr/__init__.py:102-145, O2), span-native.
+
+Pipeline per page (spans in draw/``offset`` order):
+
+1. born-digital classification (C1, util.py:4-35)
+2. strategy switch (ocr/__init__.py:124-131):
+   * non-aggressive + born-digital → page passes through untouched
+     (the reference returns before OCR at __init__.py:128-131)
+   * non-aggressive + scanned → conservative stale-OCR strip (C2),
+     empty mask
+   * aggressive → order-sensitive visibility sweep (C3) on every page,
+     returning the mask of still-visible ink
+3. the stripped text-bearing spans become the layout engine's candidate
+   detections (they are what OCR of the page image would report — in the
+   reference this is the Textract network call, T3, replaced here by the
+   from-scratch span-native detector)
+4. tiling + cross-tile dedup (T1/T6, textract.py:98-131)
+5. derotation snap (T5, textline.py:60-98) — affects emitted geometry,
+   not ordering (the reading order consumes ``rect``, readingorder.py:26)
+6. reading order (R1-R6, readingorder.py:178-223)
+7. two-tier confidence filter + mask suppression (C5/C6,
+   applyocr.py:94-112)
+8. emission: surviving base-layer spans in original order, then the new
+   text lines in reading order as kind='ocr-text' (the reference draws
+   them as an invisible text layer ON TOP of the page content,
+   draw.py:52-147 — ignore-text in bboxlog terms)
+
+Output: the document's ordered span sequence (kind, text, media_ref,
+offset) with ``offset`` the dense reading-order rank — the span-sequence
+equality contract of BASELINE.json.
+
+Page dimensions are derived as the ceiling of the page's span extent
+(the corpus generator places spans inside the nominal page box, so this
+recovers the page rect deterministically).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from swissgeol_ocr_spark.operators.classify import (
+    KIND_MEDIA,
+    KIND_OCR,
+    KIND_TEXT,
+    encode_kinds,
+    find_old_ocr_spans,
+    is_digitally_born,
+)
+from swissgeol_ocr_spark.operators.clean import clean_old_ocr_aggressive
+from swissgeol_ocr_spark.operators.confidence import filter_blocks
+from swissgeol_ocr_spark.operators.derotate import derotate_rects_batch
+from swissgeol_ocr_spark.operators.mask import PageMask
+from swissgeol_ocr_spark.operators.readingorder import sort_lines_indices
+from swissgeol_ocr_spark.operators.tiling import clip_rects, combine_text_lines
+from swissgeol_ocr_spark.plans.config import ExtractConfig
+
+OutSpan = tuple[str, str, str, int]  # (kind, text, media_ref, offset)
+
+
+def extract_document(
+    kinds: list[str],
+    texts: list[str],
+    media_refs: list[str],
+    offsets: np.ndarray,
+    page_nos: np.ndarray,
+    rects: np.ndarray,
+    confidences: np.ndarray,
+    orientations: np.ndarray,
+    config: ExtractConfig,
+) -> list[OutSpan]:
+    """Extract one document; returns the ordered output span sequence."""
+    n = len(kinds)
+    if n == 0:
+        return []
+    offsets = np.asarray(offsets, dtype=np.int64)
+    page_nos = np.asarray(page_nos, dtype=np.int64)
+    rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    confidences = np.asarray(confidences, dtype=np.float64)
+    orientations = np.asarray(orientations, dtype=np.float64)
+    kind_codes = encode_kinds(kinds)
+
+    out: list[OutSpan] = []
+    for page in np.unique(page_nos):
+        page_idx = np.flatnonzero(page_nos == page)
+        page_idx = page_idx[np.argsort(offsets[page_idx], kind="stable")]
+        out.extend(
+            _extract_page(
+                page_idx, kind_codes, texts, media_refs, rects, confidences,
+                orientations, config,
+            )
+        )
+    return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
+
+
+def _extract_page(
+    idx: np.ndarray,
+    kind_codes: np.ndarray,
+    texts: list[str],
+    media_refs: list[str],
+    rects: np.ndarray,
+    confidences: np.ndarray,
+    orientations: np.ndarray,
+    config: ExtractConfig,
+) -> list[OutSpan]:
+    pk = kind_codes[idx]
+    pr = rects[idx]
+    page_w = max(1.0, float(math.ceil(pr[:, 2].max()))) if idx.size else 1.0
+    page_h = max(1.0, float(math.ceil(pr[:, 3].max()))) if idx.size else 1.0
+
+    born_digital = is_digitally_born(pk, pr)
+
+    if config.use_aggressive_strategy:
+        removed_local, mask = clean_old_ocr_aggressive(pk, pr, page_w, page_h)
+    else:
+        if born_digital:
+            # __init__.py:128-131 — untouched passthrough
+            return [_passthrough(i, kind_codes, texts, media_refs) for i in idx]
+        removed_local = find_old_ocr_spans(pk, pr)
+        mask = PageMask(page_w, page_h)  # zeros — applyocr.py:24-25
+
+    removed_set = set(removed_local)
+    base = [int(i) for j, i in enumerate(idx) if j not in removed_set]
+
+    # candidate detections: stripped text-bearing spans with actual text
+    cand = [
+        int(idx[j])
+        for j in removed_local
+        if kind_codes[idx[j]] in (KIND_TEXT, KIND_OCR) and texts[idx[j]] != ""
+    ]
+
+    emitted: list[OutSpan] = [_passthrough(i, kind_codes, texts, media_refs) for i in base]
+
+    if not cand:
+        return emitted
+    if len(cand) > config.max_lines_per_page:
+        # scale guard replacing the reference's 10MB skip (applyocr.py:63-65)
+        return emitted
+
+    cand_arr = np.array(cand, dtype=np.int64)
+    cand_rects = rects[cand_arr]
+
+    # T1/T6: per-tile detection + asymmetric 60% dedup (textract.py:98-131).
+    # The full-page window is always first, so the merge preserves first-seen
+    # lines and later (overlapping) tiles add nothing new.
+    kept_rects = np.empty((0, 4), dtype=np.float64)
+    kept_local: list[int] = []
+    for tx0, ty0, tx1, ty1 in clip_rects(page_w, page_h):
+        inside = np.flatnonzero(
+            (cand_rects[:, 0] >= tx0)
+            & (cand_rects[:, 1] >= ty0)
+            & (cand_rects[:, 2] <= tx1)
+            & (cand_rects[:, 3] <= ty1)
+        )
+        if inside.size == 0:
+            continue
+        kept_rects, kept_local = combine_text_lines(
+            kept_rects, kept_local, cand_rects[inside], [int(x) for x in inside]
+        )
+
+    if not kept_local:
+        return emitted
+
+    lines = cand_arr[kept_local]
+    line_rects = cand_rects[np.array(kept_local, dtype=np.int64)]
+
+    # T5: derotation snap — emitted geometry only; ordering uses rect
+    derotate_rects_batch(line_rects, orientations[lines], page_h)
+
+    # R6: reading order
+    blocks_local = sort_lines_indices(line_rects)
+
+    # C5/C6: two-tier confidence filter + mask suppression
+    kept = filter_blocks(
+        blocks_local, confidences[lines], line_rects, mask, config.confidence_threshold
+    )
+
+    for k in kept:
+        gi = int(lines[k])
+        emitted.append(("ocr-text", texts[gi], "", -1))
+    return emitted
+
+
+def _passthrough(
+    i: int, kind_codes: np.ndarray, texts: list[str], media_refs: list[str]
+) -> OutSpan:
+    from swissgeol_ocr_spark.operators.classify import KIND_NAMES
+
+    return (KIND_NAMES[int(kind_codes[i])], texts[i], media_refs[i], -1)

@@ -1,0 +1,42 @@
+"""Dense page raster mask (C4) — the spatial keep-out predicate.
+
+Reimplements ``/root/reference/ocr/mask.py:4-23`` exactly, including the
+load-bearing integer rounding of rect corners (round() to nearest, with
+the +1 inclusive upper bound on slices): where visible text already
+exists, new OCR lines are suppressed (C6, ``ocr/applyocr.py:109``).
+
+The raster is materialized per page *inside* the Arrow UDF and never
+shuffled — it is a transient O(w·h) index giving O(1) rect-coverage
+queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class PageMask:
+    def __init__(self, width: float, height: float):
+        # mask.py:5-7 — dimensions rounded to nearest integer
+        self.mask = np.zeros((round(width), round(height)), dtype=np.uint8)
+
+    def _sub(self, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+        # mask.py:9-10 — round() corners, +1 inclusive upper bound
+        return self.mask[round(x0) : round(x1) + 1, round(y0) : round(y1) + 1]
+
+    def add_rect(self, x0, y0, x1, y1) -> None:
+        self._sub(x0, y0, x1, y1).fill(1)
+
+    def remove_rect(self, x0, y0, x1, y1) -> None:
+        self._sub(x0, y0, x1, y1).fill(0)
+
+    def intersects(self, x0, y0, x1, y1) -> bool:
+        return bool(np.any(self._sub(x0, y0, x1, y1)))
+
+    def coverage_ratio(self, x0, y0, x1, y1) -> float:
+        sub = self._sub(x0, y0, x1, y1)
+        if sub.size == 0:
+            # np.sum/np.size of an empty slice would divide 0/0 → nan in the
+            # reference; only reachable for degenerate rects outside the page.
+            return float("nan")
+        return float(np.sum(sub)) / float(sub.size)

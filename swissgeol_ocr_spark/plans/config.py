@@ -1,0 +1,27 @@
+"""Job configuration — the Spark analogue of the reference's env-driven
+settings (/root/reference/utils/settings.py:10-14).
+
+Only the knobs that affect extraction semantics live here; cluster tuning
+(shuffle partitions, AQE, Arrow batch size) is applied by
+``plans.pipeline.configure_spark``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # SharedSettings.confidence_threshold (settings.py:13) — required in the
+    # reference; we default to the value used throughout its docs/tests era.
+    confidence_threshold: float = 0.7
+    # SharedSettings.use_aggressive_strategy (settings.py:14), default False.
+    use_aggressive_strategy: bool = False
+    # Spans above this count mark a document as skewed ("mega-doc"): it is
+    # split page-wise before the kernel and reassembled after (SURVEY §4.2).
+    mega_doc_span_cutoff: int = 20_000
+    # Guard replacing the reference's 10MB page-payload limit
+    # (applyocr.py:34-49): pages with more candidate lines than this are
+    # skipped (emit base layer only), keeping a 10^12-doc job alive.
+    max_lines_per_page: int = 50_000
