@@ -1,0 +1,289 @@
+"""The Spark extraction pipeline (SURVEY §3.4).
+
+    read spans table
+      → left-anti join vs committed doc_ids      (resume, reference S3:
+                                                   main.py:36-41)
+      → repartition by hash(doc_id)              (north rule)
+      → mega-doc page-split salting              (skew: one 10^4-page scan
+                                                   must not stall a task)
+      → mapInArrow(extract)                      (all layout kernels)
+      → reassemble mega docs
+      → output + metrics
+
+Everything before/after the kernel is declarative DataFrame API — Catalyst
+does pushdown/pruning/AQE; the kernel consumes Arrow record batches and
+slices zero-copy numpy views per document (no per-row Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swissgeol_ocr_spark.operators.extract import extract_document
+from swissgeol_ocr_spark.plans.config import ExtractConfig
+
+OUT_SCHEMA = (
+    "doc_id string, "
+    "spans_out array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "n_spans_in int, n_spans_out int, n_pages int"
+)
+
+_OUT_ARROW = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        (
+            "spans_out",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("kind", pa.string()),
+                        ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32()),
+                    ]
+                )
+            ),
+        ),
+        ("n_spans_in", pa.int32()),
+        ("n_spans_out", pa.int32()),
+        ("n_pages", pa.int32()),
+    ]
+)
+
+
+def configure_spark(builder_or_spark):
+    """Apply the scale-relevant session conf (AQE, shuffle sizing, Arrow)."""
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+        "spark.sql.files.maxPartitionBytes": "268435456",
+    }
+    if isinstance(builder_or_spark, SparkSession):
+        for k, v in conf.items():
+            builder_or_spark.conf.set(k, v)
+        return builder_or_spark
+    for k, v in conf.items():
+        builder_or_spark = builder_or_spark.config(k, v)
+    return builder_or_spark
+
+
+def resume_filter(input_df: DataFrame, done_df: DataFrame | None) -> DataFrame:
+    """Skip-existing semantics (reference ocr/source.py:63-100 +
+    main.py:36-41): anti-join the input against already-committed doc_ids.
+    The done set is usually small relative to 10^12 docs per run → Spark
+    broadcasts it automatically under AQE; at worst it is a shuffled
+    anti-join on the same key the pipeline partitions by."""
+    if done_df is None:
+        return input_df
+    return input_df.join(done_df.select("doc_id"), on="doc_id", how="left_anti")
+
+
+def _extract_batches(
+    batches: Iterator[pa.RecordBatch], config: ExtractConfig
+) -> Iterator[pa.RecordBatch]:
+    """Arrow-native kernel driver: per batch, slice zero-copy numpy views of
+    the geometry columns and run the per-document kernel on each slice."""
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        doc_ids = batch.column("doc_id")
+        spans = batch.column("spans")
+        # raw list offsets index into .values (the unsliced child), keeping
+        # the pair consistent even when Arrow hands us a sliced array;
+        # numeric children become zero-copy numpy views
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        struct = spans.values
+        kinds_all = struct.field("kind").to_pylist()
+        texts_all = struct.field("text").to_pylist()
+        media_all = struct.field("media_ref").to_pylist()
+        off_all = struct.field("offset").to_numpy(zero_copy_only=False)
+        page_all = struct.field("page_no").to_numpy(zero_copy_only=False)
+        rect_all = np.stack(
+            [
+                struct.field("x0").to_numpy(zero_copy_only=False),
+                struct.field("y0").to_numpy(zero_copy_only=False),
+                struct.field("x1").to_numpy(zero_copy_only=False),
+                struct.field("y1").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        conf_all = struct.field("confidence").to_numpy(zero_copy_only=False)
+        orient_all = struct.field("orientation").to_numpy(zero_copy_only=False)
+
+        out_ids: list[str] = []
+        out_spans: list[list[tuple]] = []
+        n_in: list[int] = []
+        n_out: list[int] = []
+        n_pages: list[int] = []
+        for row in range(batch.num_rows):
+            lo, hi = int(offsets[row]), int(offsets[row + 1])
+            result = extract_document(
+                kinds_all[lo:hi],
+                texts_all[lo:hi],
+                media_all[lo:hi],
+                off_all[lo:hi],
+                page_all[lo:hi],
+                rect_all[lo:hi],
+                conf_all[lo:hi],
+                orient_all[lo:hi],
+                config,
+            )
+            out_ids.append(doc_ids[row].as_py())
+            out_spans.append(result)
+            n_in.append(hi - lo)
+            n_out.append(len(result))
+            n_pages.append(int(np.unique(page_all[lo:hi]).size) if hi > lo else 0)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_ids, type=pa.string()),
+                pa.array(
+                    [
+                        [
+                            {"kind": k, "text": t, "media_ref": m, "offset": o}
+                            for (k, t, m, o) in doc
+                        ]
+                        for doc in out_spans
+                    ],
+                    type=_OUT_ARROW.field("spans_out").type,
+                ),
+                pa.array(n_in, type=pa.int32()),
+                pa.array(n_out, type=pa.int32()),
+                pa.array(n_pages, type=pa.int32()),
+            ],
+            schema=_OUT_ARROW,
+        )
+
+
+def extract_pipeline(
+    spans_df: DataFrame,
+    config: ExtractConfig | None = None,
+    num_partitions: int | None = None,
+    done_df: DataFrame | None = None,
+) -> DataFrame:
+    """spans(doc_id, spans) → (doc_id, spans_out, n_spans_in, n_spans_out,
+    n_pages), partitioned by hash(doc_id), with mega-docs split page-wise.
+
+    The mega-doc path (SURVEY §4.2): AQE's skew handling cannot split a
+    single giant row, so documents with more than
+    ``config.mega_doc_span_cutoff`` spans are exploded into per-page
+    sub-documents BEFORE the kernel (pages are independent in the
+    reference: ocr/__init__.py:73-78 processes them one by one), extracted
+    in parallel, and reassembled with an ordered window — bit-identical to
+    the unsplit result.
+    """
+    config = config or ExtractConfig()
+    spans_df = resume_filter(spans_df, done_df)
+
+    n_part = num_partitions or spans_df.sparkSession.sparkContext.defaultParallelism
+    # Prefer a pre-materialized span count when the table carries one — a
+    # plain int column is a pushdown-able predicate, so the small/big split
+    # prunes at the scan instead of re-reading the heavy spans column twice.
+    if "n_spans" in spans_df.columns:
+        sized = spans_df.withColumnRenamed("n_spans", "_n")
+    else:
+        sized = spans_df.withColumn("_n", F.size("spans"))
+    small = sized.filter(F.col("_n") <= config.mega_doc_span_cutoff).drop("_n")
+    big = sized.filter(F.col("_n") > config.mega_doc_span_cutoff).drop("_n")
+
+    def run_kernel(df: DataFrame) -> DataFrame:
+        return df.repartition(n_part, "doc_id").mapInArrow(
+            lambda it: _extract_batches(it, config), OUT_SCHEMA
+        )
+
+    small_out = run_kernel(small)
+
+    # --- mega-doc salting: split page-wise, extract, reassemble -----------
+    exploded = big.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select("doc_id", F.col("span.page_no").alias("page_no"), "span")
+    page_docs = (
+        exploded.repartition(n_part, "doc_id", "page_no")
+        .groupBy("doc_id", "page_no")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("span.offset").alias("o"), F.col("span").alias("s")))).alias("ordered"))
+        .select(
+            F.concat(F.col("doc_id"), F.lit("#"), F.col("page_no").cast("string")).alias("doc_id"),
+            F.transform("ordered", lambda x: x["s"]).alias("spans"),
+        )
+    )
+    page_out = run_kernel(page_docs)
+    # reassemble: parse back orig doc_id/page, order by page, re-rank offsets
+    reassembled = (
+        page_out.withColumn("orig_doc_id", F.substring_index("doc_id", "#", 1))
+        .withColumn(
+            "page_no",
+            F.substring_index("doc_id", "#", -1).cast("int"),
+        )
+        .groupBy("orig_doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("page_no", "spans_out", "n_spans_in", "n_spans_out"))
+            ).alias("pages"),
+        )
+        .select(
+            F.col("orig_doc_id").alias("doc_id"),
+            F.flatten(F.transform("pages", lambda p: p["spans_out"])).alias("flat"),
+            F.aggregate("pages", F.lit(0), lambda a, p: a + p["n_spans_in"]).alias("n_spans_in"),
+            F.size("pages").cast("int").alias("n_pages"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "flat",
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans_out"),
+            "n_spans_in",
+            F.size("flat").cast("int").alias("n_spans_out"),
+            "n_pages",
+        )
+        .select("doc_id", "spans_out", "n_spans_in", "n_spans_out", "n_pages")
+    )
+
+    return small_out.unionByName(reassembled)
+
+
+def metrics_table(out_df: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage + metrics rows (reference ProcessResult +
+    S5 metadata, ocr/__init__.py:25-27, aws/aws.py:78-88): one row per
+    document with its executing partition, aggregable per partition."""
+    return out_df.select(
+        "doc_id",
+        "n_pages",
+        "n_spans_in",
+        "n_spans_out",
+        F.spark_partition_id().alias("partition_id"),
+        F.lit(run_id).alias("run_id"),
+        F.current_timestamp().alias("ts"),
+    )
+
+
+def write_output(
+    out_df: DataFrame, path: str, run_id: str, metrics_path: str | None = None
+) -> None:
+    """Commit extraction output + metrics (parquet stand-in for Iceberg
+    appends; the resume anti-join reads the committed doc_ids back).
+
+    The output is stamped with the run_id so the metrics pass re-reads only
+    this run's committed rows (a cheap column scan — no kernel recompute)."""
+    stamped = out_df.withColumn("run_id", F.lit(run_id))
+    stamped.write.mode("append").parquet(path)
+    if metrics_path:
+        spark = out_df.sparkSession
+        committed = spark.read.parquet(path).filter(F.col("run_id") == run_id)
+        metrics_table(
+            committed.select("doc_id", "n_pages", "n_spans_in", "n_spans_out"), run_id
+        ).write.mode("append").parquet(metrics_path)

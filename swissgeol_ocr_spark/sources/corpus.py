@@ -1,0 +1,196 @@
+"""Deterministic synthetic spans corpus (FIXTURES.md §1/§5/§7).
+
+Turns the driver's flat ``documents(doc_id, text, ...)`` parquet into the
+north-rule input shape
+
+    (doc_id string, spans array<struct<kind, text, media_ref, offset,
+                                       page_no, x0, y0, x1, y1,
+                                       confidence, orientation>>)
+
+entirely with JVM-side Spark expressions (``sequence`` + ``transform`` +
+hash arithmetic — no UDF, no driver-side loop, no external data), so the
+same generator scales from sf0.001 to any corpus size. Everything is a
+pure function of (doc_id, text), hence deterministic.
+
+Layout classes (pmod(xxhash64(doc_id), 4)):
+  0 — born-digital single column ('text' lines, no media)
+  1 — scanned two-column: full-page media + stale 'ocr-text' lines
+      (right column emitted before left: insertion order must not matter)
+  2 — text-under-image (Tiefenbrunnen/Lostorf, reference util.py:10-15):
+      visible 'text' lines then a covering media span
+  3 — born-digital with a hidden 'ocr-text' overlay (aggressive-strategy
+      food) + a 'path' span
+
+A small deterministic subset (pmod(xxhash64(doc_id), MEGA_MOD) == 0) gets
+its word list repeated MEGA_FACTOR× — multi-page "mega docs" driving the
+skew/salting path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LINES_PER_PAGE = 40
+WORDS_PER_LINE = 8
+LINE_HEIGHT = 12.0
+LINE_GAP = 2.0
+PAGE_W = 600.0
+PAGE_H = 800.0
+MEGA_MOD = 101
+MEGA_FACTOR = 40
+
+
+def spans_schema_ddl() -> str:
+    return (
+        "array<struct<kind:string,text:string,media_ref:string,offset:int,"
+        "page_no:int,x0:double,y0:double,x1:double,y1:double,"
+        "confidence:double,orientation:double>>"
+    )
+
+
+def out_spans_schema_ddl() -> str:
+    return "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
+    """documents(doc_id, text) → (doc_id string, spans) deterministic."""
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("words"),
+    )
+    if mega_docs:
+        d = d.withColumn(
+            "words",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(MEGA_MOD)) == 0,
+                F.flatten(F.array_repeat(F.col("words"), MEGA_FACTOR)),
+            ).otherwise(F.col("words")),
+        )
+    d = d.withColumn("layout", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
+    d = d.withColumn(
+        "n_lines",
+        F.greatest(F.lit(1), F.ceil(F.size("words") / F.lit(WORDS_PER_LINE))).cast("int"),
+    )
+    d = d.withColumn("n_pages", (F.ceil(F.col("n_lines") / F.lit(LINES_PER_PAGE))).cast("int"))
+
+    line_spans = F.transform(
+        F.sequence(F.lit(0), F.col("n_lines") - 1),
+        lambda i: _line_span(i),
+    )
+    media_spans = F.transform(
+        F.sequence(F.lit(0), F.col("n_pages") - 1),
+        lambda p: _media_span(p),
+    )
+    overlay_span = F.array(
+        F.struct(
+            F.lit("ocr-text").alias("kind"),
+            F.lit("hidden overlay").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+            F.lit(0).alias("page_no"),
+            F.lit(40.0).alias("x0"),
+            F.lit(700.0).alias("y0"),
+            F.lit(200.0).alias("x1"),
+            F.lit(712.0).alias("y1"),
+            F.lit(0.95).alias("confidence"),
+            F.lit(0.0).alias("orientation"),
+        ),
+        F.struct(
+            F.lit("path").alias("kind"),
+            F.lit("").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+            F.lit(0).alias("page_no"),
+            F.lit(40.0).alias("x0"),
+            F.lit(720.0).alias("y0"),
+            F.lit(560.0).alias("x1"),
+            F.lit(721.0).alias("y1"),
+            F.lit(1.0).alias("confidence"),
+            F.lit(0.0).alias("orientation"),
+        ),
+    )
+
+    # assemble per layout: media first for layout 1 (scan), media last for
+    # layout 2 (text-under-image); overlay appended for layout 3
+    spans = (
+        F.when(F.col("layout") == 1, F.concat(media_spans, line_spans))
+        .when(F.col("layout") == 2, F.concat(line_spans, media_spans))
+        .when(F.col("layout") == 3, F.concat(line_spans, overlay_span))
+        .otherwise(line_spans)
+    )
+
+    # re-number offsets densely in array order (the draw order)
+    spans = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+            s["page_no"].alias("page_no"),
+            s["x0"].alias("x0"),
+            s["y0"].alias("y0"),
+            s["x1"].alias("x1"),
+            s["y1"].alias("y1"),
+            s["confidence"].alias("confidence"),
+            s["orientation"].alias("orientation"),
+        ),
+    )
+
+    return d.select("doc_id", spans.alias("spans"))
+
+
+def _line_span(i: Column) -> Column:
+    """One text line span as a function of the line index.
+
+    Two-column layout per page: even pages left-column-first; line i of a
+    page goes to column (local_i * 2 // LINES_PER_PAGE) — for scanned docs
+    (layout 1) the kind is 'ocr-text' with a hash-derived confidence.
+    """
+    page = (i / F.lit(LINES_PER_PAGE)).cast("int")
+    local = i - page * F.lit(LINES_PER_PAGE)
+    col_no = (local * 2 / F.lit(LINES_PER_PAGE)).cast("int")  # 0 or 1
+    row = local - col_no * F.lit(LINES_PER_PAGE // 2)
+    y0 = F.lit(40.0) + row.cast("double") * F.lit(LINE_HEIGHT + LINE_GAP)
+    x0 = F.lit(40.0) + col_no.cast("double") * F.lit(290.0)
+    # deterministic per-line width jitter and confidence from hashes
+    width = F.lit(200.0) + F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(60)).cast("double")
+    conf = (
+        F.lit(0.55)
+        + F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(7)), F.lit(45)).cast("double") / F.lit(100.0)
+    )
+    scanned = F.col("layout") == 1
+    kind = F.when(scanned, F.lit("ocr-text")).otherwise(F.lit("text"))
+    text = F.array_join(
+        F.slice(F.col("words"), i * F.lit(WORDS_PER_LINE) + 1, F.lit(WORDS_PER_LINE)), " "
+    )
+    return F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+        page.alias("page_no"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (x0 + width).alias("x1"),
+        (y0 + F.lit(LINE_HEIGHT)).alias("y1"),
+        F.when(scanned, conf).otherwise(F.lit(1.0)).alias("confidence"),
+        F.lit(0.0).alias("orientation"),
+    )
+
+
+def _media_span(p: Column) -> Column:
+    return F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("img-"), F.col("doc_id"), F.lit("-"), p.cast("string")).alias("media_ref"),
+        F.lit(0).alias("offset"),
+        p.cast("int").alias("page_no"),
+        F.lit(0.0).alias("x0"),
+        F.lit(0.0).alias("y0"),
+        F.lit(PAGE_W).alias("x1"),
+        F.lit(PAGE_H).alias("y1"),
+        F.lit(1.0).alias("confidence"),
+        F.lit(0.0).alias("orientation"),
+    )

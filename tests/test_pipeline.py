@@ -1,0 +1,101 @@
+"""End-to-end Spark pipeline tests: corpus synthesis → extraction →
+invariants; mega-doc page-split equivalence; resume anti-join."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from swissgeol_ocr_spark.operators.extract import extract_document
+from swissgeol_ocr_spark.plans.config import ExtractConfig
+from swissgeol_ocr_spark.plans.pipeline import extract_pipeline, resume_filter
+from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+
+@pytest.fixture(scope="module")
+def spans_df(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    return documents_to_spans(docs).cache()
+
+
+def test_corpus_schema_and_determinism(spark, spans_df, sf_dir):
+    row = spans_df.orderBy("doc_id").first()
+    assert isinstance(row.doc_id, str)
+    s0 = row.spans[0]
+    assert set(s0.asDict().keys()) == {
+        "kind", "text", "media_ref", "offset", "page_no",
+        "x0", "y0", "x1", "y1", "confidence", "orientation",
+    }
+    # offsets dense in array order
+    offs = [s.offset for s in row.spans]
+    assert offs == list(range(len(offs)))
+    # regenerating gives the identical corpus (pure function of input)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    again = documents_to_spans(docs).orderBy("doc_id").first()
+    assert again.spans == row.spans
+
+
+def test_pipeline_output_invariants(spans_df):
+    out = extract_pipeline(spans_df).cache()
+    n_docs = spans_df.count()
+    assert out.count() == n_docs
+    # every doc emits at least one span; offsets dense per doc
+    bad = out.filter(F.col("n_spans_out") == 0).count()
+    assert bad == 0
+    sample = out.orderBy("doc_id").limit(20).collect()
+    for r in sample:
+        offs = [s.offset for s in r.spans_out]
+        assert offs == list(range(len(offs))), r.doc_id
+        kinds = {s.kind for s in r.spans_out}
+        assert kinds <= {"text", "media", "ocr-text", "path"}
+
+
+def test_pipeline_matches_local_kernel(spans_df):
+    """The distributed pipeline must agree span-for-span with a direct local
+    invocation of the kernel — no Arrow/shuffle-induced divergence."""
+    subset = spans_df.orderBy("doc_id").limit(10).cache()
+    rows = subset.collect()
+    out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(subset).collect()
+    }
+    cfg = ExtractConfig()
+    for row in rows:
+        spans = row.spans
+        expected = extract_document(
+            [s.kind for s in spans],
+            [s.text for s in spans],
+            [s.media_ref for s in spans],
+            np.array([s.offset for s in spans]),
+            np.array([s.page_no for s in spans]),
+            np.array([[s.x0, s.y0, s.x1, s.y1] for s in spans], dtype=np.float64),
+            np.array([s.confidence for s in spans]),
+            np.array([s.orientation for s in spans]),
+            cfg,
+        )
+        assert out[row.doc_id] == expected, row.doc_id
+
+
+def test_mega_doc_split_is_exact(spans_df):
+    """Page-split salting must be bit-identical to the unsplit kernel."""
+    # force everything through the mega path by lowering the cutoff
+    cfg_split = ExtractConfig(mega_doc_span_cutoff=1)
+    cfg_plain = ExtractConfig(mega_doc_span_cutoff=10**9)
+    subset = spans_df.limit(15)
+    split_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(subset, cfg_split).collect()
+    }
+    plain_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(subset, cfg_plain).collect()
+    }
+    assert split_out == plain_out
+
+
+def test_resume_anti_join(spark, spans_df):
+    done = spans_df.select("doc_id").limit(30)
+    remaining = resume_filter(spans_df, done)
+    assert remaining.count() == spans_df.count() - 30
+    # re-running with everything done → empty
+    assert resume_filter(spans_df, spans_df.select("doc_id")).count() == 0
