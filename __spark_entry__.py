@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline end-to-end on
+sf0.001; ``queries()``/``oracle_sql()`` expose every implemented operator
+from SURVEY.md §2 plus the training-data operators, with DuckDB oracles
+(see swissgeol_ocr_spark/plans/queries.py for the registry and the
+reference file:line mapping).
 """
 
 from __future__ import annotations
@@ -15,24 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the north-rule spans corpus from the sf0.001
+    documents table and run the full extraction pipeline (C1→C2/C3→T1/T6→
+    T5→R1-R6→C5/C6→ordered emission); returns one row per document with
+    its ordered output span sequence."""
+    from swissgeol_ocr_spark.plans.pipeline import configure_spark, extract_pipeline
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+    configure_spark(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return extract_pipeline(documents_to_spans(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from swissgeol_ocr_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from swissgeol_ocr_spark.plans.queries import QUERIES
+
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

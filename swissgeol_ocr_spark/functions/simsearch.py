@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k against a query vector:
+                         one scan, JVM-side ``aggregate``/``zip_with``
+                         arithmetic, no shuffle until the final top-k
+                         (which is a tiny sort — Spark's TakeOrderedAndProject).
+* ``lsh_bucket``       — the scale path: deterministic random-hyperplane
+                         sign buckets; candidate generation becomes an
+                         equi-join on a small bucket key instead of a full
+                         cross product. Hyperplane components are pure
+                         arithmetic in the vector index (engine-portable —
+                         the DuckDB oracle reproduces them exactly).
+
+All math is cast to double before summing so Spark (JVM) and DuckDB agree
+bit-for-bit at the rounding precision used by the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector (excluded itself).
+
+    The 1-row query side is crossJoin-broadcast; the scan stays pipelined
+    and the global top-k is a TakeOrderedAndProject, not a full sort."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplane_component(plane: int, j: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    ((plane*8191 + j*127 + 13) * 2654435761 mod 1000)/1000 - 0.5.
+    Pure integer arithmetic → identical in any SQL engine."""
+    x = (F.lit(plane * 8191) + j * 127 + 13) * F.lit(2654435761)
+    return F.pmod(x, F.lit(1000)).cast("double") / 1000.0 - 0.5
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-bucket id in [0, 2^n_planes): bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, j: x.cast("double") * hyperplane_component(p, j.cast("long")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scoring to the query's LSH
+    bucket. At fleet scale the bucket column is precomputed+partitioned, so
+    a query touches one partition instead of the whole corpus."""
+    with_bucket = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes))
+    q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("_bucket").alias("_qbucket")
+    )
+    scored = (
+        with_bucket.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q), F.col("_bucket") == F.col("_qbucket"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)

@@ -1,0 +1,180 @@
+"""Text-analysis + deduplication column functions for training-data
+pipelines at 100 TB scale.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only — no
+Python UDFs anywhere — so Catalyst keeps whole-stage codegen across the
+hot path and each operator's cost is a linear scan + (for the dedup
+family) one shuffle on a compact key.
+
+Operators (each exposed in the driver contract with a DuckDB oracle):
+
+* exact dedup          — md5 fingerprint groupBy (one shuffle on a 32-byte key)
+* n-gram Jaccard       — shingle explode + equi-join on (source, shingle);
+                         candidate pairs bounded by the source partition
+* MinHash + LSH        — k md5-min signatures, banded; near-dup candidates
+                         meet in a band-key shuffle instead of O(n²) pairs
+* SimHash              — 16-bit sign-aggregated token hash, engine-portable
+                         (hex-nibble arithmetic instead of native hashing)
+* language ID          — stopword-marker scoring with a fixed precedence
+* quality score        — length / punctuation / stopword / word-length mix
+* token counting       — whitespace + BPE-ish regex segmentation
+* fingerprinting       — normalized-text md5 (rolling-hash stand-in that
+                         both engines compute identically)
+
+Cross-engine determinism note: all hashing is md5-over-strings because
+Spark's xxhash64/hash are not reproducible in other engines; md5 is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+LANG_PRECEDENCE = ("en", "de", "fr", "es")
+
+BPE_ISH_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    w = words(text)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+            ),
+        ).otherwise(F.array(F.array_join(w, " ")))  # short text → one shingle
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """md5 of the lower-cased, whitespace-collapsed, punctuation-free text —
+    the document fingerprint both engines compute bit-identically."""
+    norm = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    norm = F.regexp_replace(norm, " +", " ")
+    return F.md5(F.trim(norm))
+
+
+def minhash_signature(shingle_array: Column, k: int = 8) -> Column:
+    """k-element MinHash signature: per hash seed i, the lexicographic min
+    of md5(i || '|' || shingle). array<string> of length k."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_array, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 2) -> Column:
+    """Band the signature: band key = band_id || md5-concat of its rows.
+    Near-duplicates collide on at least one band key with high probability;
+    the join that finds them shuffles on this compact key."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.element_at(signature, b * rows + r + 1) for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens, engine-portable.
+
+    Per token, md5's first 16 hex nibbles vote per bit position: nibble ≥ 8
+    votes +1, else −1; the sign per position forms the fingerprint."""
+    toks = words(text)
+    digests = F.transform(toks, lambda t: F.md5(t))
+    bit_cols = []
+    for j in range(16):
+        votes = F.aggregate(
+            digests,
+            F.lit(0),
+            lambda acc, d: acc
+            + F.when(
+                F.instr(F.lit("0123456789abcdef"), F.substring(d, j + 1, 1)) >= 9,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(words(F.lower(text)), lambda w: w.isin(*markers)))
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax of marker counts with LANG_PRECEDENCE tie-breaking."""
+    scores = {lang: lang_score(text, lang) for lang in LANG_PRECEDENCE}
+    best = None
+    best_score = None
+    for lang in reversed(LANG_PRECEDENCE):
+        if best is None:
+            best = F.lit(lang)
+            best_score = scores[lang]
+        else:
+            cond = scores[lang] >= best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    w = words(text)
+    n_tokens = F.size(w)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    n_stop = F.size(F.filter(F.transform(w, F.lower), lambda x: x.isin(*STOPWORDS)))
+    mean_wlen = (n_chars - (n_tokens - 1)) / n_tokens
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "punct_ratio": F.round(n_punct / n_chars, 6),
+        "stopword_ratio": F.round(n_stop / n_tokens, 6),
+        "mean_word_len": F.round(mean_wlen, 6),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality score from the features above.
+
+    Weights are 0.4/0.2/0.4 deliberately: the terms are 6-decimal-rounded
+    ratios, and even weights keep the 7th decimal of the sum even, so the
+    final round(…, 6) never lands on a .5 boundary where engines disagree."""
+    f = quality_features(text)
+    length_term = F.least(F.lit(1.0), f["n_tokens"] / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), f["stopword_ratio"] * 5)
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 10)
+    return F.round(0.4 * length_term + 0.2 * stop_term + 0.4 * punct_pen, 6)
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    return {
+        "ws_tokens": F.size(words(text)).cast("long"),
+        "bpe_ish_tokens": F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), 0)).cast("long"),
+    }

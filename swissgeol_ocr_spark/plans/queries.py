@@ -1,0 +1,699 @@
+"""Driver-contract queries: every SQL-expressible operator from SURVEY §2
+plus the training-data operators (dedup / similarity / text analysis),
+each as a Spark DataFrame callable with a matching DuckDB oracle.
+
+Contract (see /root/repo/__spark_entry__.py): the driver runs the Spark
+query and the oracle SQL side-by-side at sf=0.01 and compares row count,
+schema and an order-insensitive value hash — so every computed column is
+aliased identically on both sides, float outputs are rounded, and all
+hashing is md5 (reproducible across engines, unlike xxhash64).
+
+Operator ↔ reference mapping (file:line in /root/reference):
+  c5_confidence_filter   applyocr.py:94-112 (two-tier window filter)
+  s3_resume_antijoin     main.py:36-41, target.py:29-33 (skip-existing)
+  p3_pagecount_check     ocr/__init__.py:88-97 (output verification)
+  agg_block_stats        readingorder.py:10-16, util.py:20-29 (rect folds →
+                         classic grouped aggregation)
+  r1_span_ordering       readingorder.py:49-52 (sort key → row_number)
+  t1_tiles               textract.py:98-117 (tile explode)
+  join_broadcast_dim     block-graph child resolution S7 as hash equi-join
+  topk_orders            deterministic top-k
+  event_windows          tumbling-window rollup (streaming-ish batch form)
+plus the training-data family documented in functions/textops.py and
+functions/simsearch.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swissgeol_ocr_spark.functions import simsearch, textops
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Reference-operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_c5_confidence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 two-tier confidence filter in pure DataFrame form: block = source,
+    confidence = deterministic proxy in [0,1); keep a row iff its confidence
+    clears the block's two-tier threshold (T=0.7)."""
+    docs = _t(spark, sf_dir, "documents")
+    conf = (F.col("n_chars") % 97).cast("double") / 96.0
+    d = docs.select("doc_id", "source", F.round(conf, 6).alias("conf"))
+    w = Window.partitionBy("source")
+    d = d.withColumn("avg_conf", F.avg("conf").over(w))
+    thr = F.when(F.col("avg_conf") < 0.7, F.lit((1 + 0.7) / 2)).otherwise(
+        F.col("avg_conf") / 2
+    )
+    return (
+        d.filter(F.col("conf") > thr)
+        .select("doc_id", "source", "conf", F.round("avg_conf", 6).alias("avg_conf"))
+    )
+
+
+SQL_C5 = """
+WITH d AS (
+  SELECT doc_id, source, round((n_chars % 97) / 96.0, 6) AS conf
+  FROM documents
+), w AS (
+  SELECT doc_id, source, conf, avg(conf) OVER (PARTITION BY source) AS avg_conf
+  FROM d
+)
+SELECT doc_id, source, conf, round(avg_conf, 6) AS avg_conf
+FROM w
+WHERE conf > (CASE WHEN avg_conf < 0.7 THEN 0.85 ELSE avg_conf / 2 END)
+"""
+
+
+def q_s3_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 skip-existing: anti-join the input against the committed set
+    (docs with doc_id % 7 == 0 standing in for already-extracted output)."""
+    docs = _t(spark, sf_dir, "documents")
+    done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return docs.join(done, "doc_id", "left_anti").select("doc_id", "source")
+
+
+SQL_S3 = """
+SELECT doc_id, source FROM documents
+WHERE doc_id % 7 <> 0
+"""
+
+
+def q_p3_pagecount_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 output-verification invariant as an agg-join: per-order line
+    counts with the order's attributes (mismatch filter = empty gate)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    counts = lineitem.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return (
+        orders.join(counts, orders.o_orderkey == counts.l_orderkey, "inner")
+        .select("o_orderkey", "o_orderstatus", "n_lines")
+    )
+
+
+SQL_P3 = """
+SELECT o_orderkey, o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderstatus
+"""
+
+
+def q_agg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped min/max/sum/avg folds (TPC-H-Q1-shaped); partial aggregation
+    (map-side combine) + one shuffle on the tiny group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_r1_span_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 sort-key ordering as a window rank: dense per-partition offsets
+    (row_number over the scan order) — the relational face of the spans'
+    dense ``offset`` assignment."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).alias("span_rank")
+    )
+
+
+SQL_R1 = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+         AS span_rank
+FROM events
+"""
+
+
+def q_t1_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 tile generation as a deterministic explode over synthetic page
+    dims derived from ``part`` (textract.py:98-117 semantics: single tile
+    for small pages, else full page + 2000pt grid with 400pt overlap)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (500 + (F.col("p_partkey") % 40) * 100).cast("double").alias("w"),
+        (500 + (F.col("p_partkey") % 53) * 80).cast("double").alias("h"),
+    )
+    small = part.filter((F.col("w") <= 2000) & (F.col("h") <= 2000)).select(
+        "p_partkey",
+        F.lit(0.0).alias("x0"),
+        F.lit(0.0).alias("y0"),
+        F.col("w").alias("x1"),
+        F.col("h").alias("y1"),
+    )
+    big = part.filter((F.col("w") > 2000) | (F.col("h") > 2000))
+    starts = lambda dim: F.sequence(F.lit(0), (dim - 400).cast("int") - 1, F.lit(1600))
+    grid = (
+        big.select("p_partkey", "w", "h", F.explode(starts(F.col("w"))).alias("gx"))
+        .select("p_partkey", "w", "h", "gx", F.explode(starts(F.col("h"))).alias("gy"))
+        .select(
+            "p_partkey",
+            F.col("gx").cast("double").alias("x0"),
+            F.col("gy").cast("double").alias("y0"),
+            F.least(F.col("gx") + 2000, F.col("w")).cast("double").alias("x1"),
+            F.least(F.col("gy") + 2000, F.col("h")).cast("double").alias("y1"),
+        )
+    )
+    full = big.select(
+        "p_partkey",
+        F.lit(0.0).alias("x0"),
+        F.lit(0.0).alias("y0"),
+        F.col("w").alias("x1"),
+        F.col("h").alias("y1"),
+    )
+    return small.unionByName(full).unionByName(grid)
+
+
+SQL_T1 = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(500 + (p_partkey % 40) * 100 AS DOUBLE) AS w,
+         CAST(500 + (p_partkey % 53) * 80 AS DOUBLE) AS h
+  FROM part
+), small AS (
+  SELECT p_partkey, 0.0 AS x0, 0.0 AS y0, w AS x1, h AS y1
+  FROM p WHERE w <= 2000 AND h <= 2000
+), big AS (
+  SELECT * FROM p WHERE w > 2000 OR h > 2000
+), fullpage AS (
+  SELECT p_partkey, 0.0 AS x0, 0.0 AS y0, w AS x1, h AS y1 FROM big
+), grid AS (
+  SELECT p_partkey,
+         CAST(gx AS DOUBLE) AS x0,
+         CAST(gy AS DOUBLE) AS y0,
+         CAST(least(gx + 2000, w) AS DOUBLE) AS x1,
+         CAST(least(gy + 2000, h) AS DOUBLE) AS y1
+  FROM big,
+       LATERAL unnest(range(0, CAST(w - 400 AS INT), 1600)) AS tx(gx),
+       LATERAL unnest(range(0, CAST(h - 400 AS INT), 1600)) AS ty(gy)
+)
+SELECT * FROM small UNION ALL SELECT * FROM fullpage UNION ALL SELECT * FROM grid
+"""
+
+
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join with an explicitly broadcast dimension (the S7
+    id→block resolution shape): revenue per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (TakeOrderedAndProject — no full sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(100)
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type (batch form of the streaming
+    windowed agg; see streaming/ for the readStream variant)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_WINDOWS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint groupBy; keeper = min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-3-gram Jaccard ≥ 0.5 within the same
+    source (shingle equi-join, pair counts vs per-doc shingle counts)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", textops.shingles(F.col("text")).alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = docs.select("doc_id", "source", F.explode("sh").alias("shingle"))
+    pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+SQL_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])
+         ELSE [text] END) AS shingles
+  FROM documents
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), ex AS (
+  SELECT doc_id, source, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 md5-min signatures, 4 bands × 2
+    rows; candidate pairs collide on a band key (one shuffle on the band
+    key instead of an all-pairs product)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textops.shingles(F.col("text")).alias("sh")
+    )
+    sig = docs.select("doc_id", textops.minhash_signature(F.col("sh")).alias("sig"))
+    banded = sig.select(
+        "doc_id", F.explode(textops.lsh_band_keys(F.col("sig"))).alias("band_key")
+    )
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+SQL_MINHASH = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])
+         ELSE [text] END) AS shingles
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(shingles, s -> md5('0|' || s))),
+          list_min(list_transform(shingles, s -> md5('1|' || s))),
+          list_min(list_transform(shingles, s -> md5('2|' || s))),
+          list_min(list_transform(shingles, s -> md5('3|' || s))),
+          list_min(list_transform(shingles, s -> md5('4|' || s))),
+          list_min(list_transform(shingles, s -> md5('5|' || s))),
+          list_min(list_transform(shingles, s -> md5('6|' || s))),
+          list_min(list_transform(shingles, s -> md5('7|' || s)))] AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, unnest([
+    '0:' || sig[1] || ':' || sig[2],
+    '1:' || sig[3] || ':' || sig[4],
+    '2:' || sig[5] || ':' || sig[6],
+    '3:' || sig[7] || ':' || sig[8]]) AS band_key
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (engine-portable nibble voting)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.simhash16(F.col("text")).alias("simhash"))
+
+
+SQL_SIMHASH = """
+SELECT doc_id, (
+  SELECT CAST(sum(CASE WHEN (
+      SELECT sum(CASE WHEN instr('0123456789abcdef',
+                                substr(md5(t.tok), b.bit + 1, 1)) >= 9
+                      THEN 1 ELSE -1 END)
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok) t
+    ) > 0 THEN 1 << b.bit ELSE 0 END) AS INT)
+  FROM (SELECT unnest(range(0, 16)) AS bit) b
+) AS simhash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.cosine_topk(emb, query_vec_id=0, k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+expl AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS v,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qv
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+scored AS (
+  SELECT vec_id,
+         sum(v * qv) AS dot,
+         sqrt(sum(v * v)) AS na,
+         sqrt(sum(qv * qv)) AS nb
+  FROM expl GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.lsh_ann(emb, query_vec_id=0, k=10, n_planes=8)
+
+
+SQL_LSH_ANN = """
+WITH planes AS (
+  SELECT p.plane, j.j,
+         ((p.plane * 8191 + j.j * 127 + 13) * 2654435761) % 1000 / 1000.0 - 0.5
+           AS comp
+  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+       (SELECT unnest(range(0, 64)) AS j) j
+), vecs AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, plane, sum(v * comp) AS dotp
+  FROM vecs JOIN planes ON vecs.j = planes.j
+  GROUP BY vec_id, plane
+), buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dotp > 0 THEN 1 << plane ELSE 0 END) AS INT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+), q AS (
+  SELECT e.embedding AS qvec, b.bucket AS qbucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id = 0
+), cand AS (
+  SELECT e.vec_id, e.embedding, q.qvec
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, q
+  WHERE b.bucket = q.qbucket AND e.vec_id <> 0
+), expl AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(unnest(qvec) AS DOUBLE) AS qv
+  FROM cand
+), scored AS (
+  SELECT vec_id,
+         sum(v * qv) AS dot,
+         sqrt(sum(v * v)) AS na,
+         sqrt(sum(qv * qv)) AS nb
+  FROM expl GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.predicted_lang(F.col("text")).alias("pred_lang"),
+        textops.lang_score(F.col("text"), "en").cast("long").alias("en_score"),
+    )
+
+
+SQL_LANGID = """
+WITH scores AS (
+  SELECT doc_id,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('the','a','of','and'))) AS s_en,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('der','die','das','und'))) AS s_de,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('le','la','les','et'))) AS s_fr,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('el','los','las','y'))) AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       CAST(s_en AS BIGINT) AS en_score
+FROM scores
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        textops.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+SQL_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+           AS n_punct,
+         len(list_filter(list_transform(string_split(text, ' '), w -> lower(w)),
+             w -> w IN ('the','a','of','and','in','to','is'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_word_len,
+       round(0.4 * least(1.0, n_tokens / 100.0)
+           + 0.2 * least(1.0, round(n_stop / n_tokens, 6) * 5)
+           + 0.4 * greatest(0.0, 1.0 - round(n_punct / n_chars, 6) * 10), 6)
+         AS quality
+FROM f
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = textops.token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["ws_tokens"].alias("ws_tokens"),
+        counts["bpe_ish_tokens"].alias("bpe_ish_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+            AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textops.normalized_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline queries (kernel-backed → rows-only oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extraction pipeline on the synthesized spans corpus.
+    Non-SQL-expressible (the layout kernels ARE the operator) → the driver
+    records the weaker rows-only check."""
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_pipeline(documents_to_spans(docs))
+    return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages")
+
+
+def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded output span sequences (span-sequence equality surface):
+    one row per output span, rows-only check."""
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_pipeline(documents_to_spans(docs))
+    return out.select("doc_id", F.explode("spans_out").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "c5_confidence_filter": (q_c5_confidence_filter, SQL_C5),
+    "s3_resume_antijoin": (q_s3_resume_antijoin, SQL_S3),
+    "p3_pagecount_check": (q_p3_pagecount_check, SQL_P3),
+    "agg_block_stats": (q_agg_block_stats, SQL_AGG),
+    "r1_span_ordering": (q_r1_span_ordering, SQL_R1),
+    "t1_tiles": (q_t1_tiles, SQL_T1),
+    "join_broadcast_dim": (q_join_broadcast_dim, SQL_JOIN),
+    "topk_orders": (q_topk_orders, SQL_TOPK),
+    "event_windows": (q_event_windows, SQL_WINDOWS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+    "langid": (q_langid, SQL_LANGID),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "extract_flagship": (q_extract_flagship, None),
+    "extract_sequence": (q_extract_sequence, None),
+}

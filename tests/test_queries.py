@@ -1,0 +1,76 @@
+"""Local replica of the driver's correctness gate: run every Spark query
+and its DuckDB oracle on the same parquet tables and compare row count,
+column names and (order-insensitively) values."""
+
+import math
+
+import duckdb
+import pytest
+
+from swissgeol_ocr_spark.plans.queries import QUERIES, TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.sql(sql).fetchdf()
+
+
+def _canon(df):
+    """Sort columns by name and rows by all values → comparable frame."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a.shape != b.shape:
+        return False
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for x, y in zip(av, bv):
+            if isinstance(x, float) or isinstance(y, float):
+                if not (
+                    (isinstance(x, float) and isinstance(y, float))
+                    or (x is None and y is None)
+                ):
+                    xf = float(x) if x is not None else math.nan
+                    yf = float(y) if y is not None else math.nan
+                else:
+                    xf, yf = float(x), float(y)
+                if math.isnan(xf) and math.isnan(yf):
+                    continue
+                if abs(xf - yf) > 1e-9 * max(1.0, abs(xf), abs(yf)):
+                    return False
+            elif str(x) != str(y):
+                return False
+    return True
+
+
+ORACLE_QUERIES = [name for name, (_, sql) in QUERIES.items() if sql is not None]
+ROWS_ONLY = [name for name, (_, sql) in QUERIES.items() if sql is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = _duck(sql)
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+    a, b = _canon(sdf), _canon(ddf)
+    assert _values_equal(a, b), f"{name}: value mismatch\nspark:\n{a.head()}\nduck:\n{b.head()}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
