@@ -3,8 +3,10 @@
 A faithful, from-scratch reimplementation of the reference's greedy,
 geometry-only text linearization (``/root/reference/ocr/readingorder.py``,
 documented in ``/root/reference/docs/ReadingOrder.md``), rewritten over
-numpy arrays so every inner scan is vectorized (the reference does
-per-object Python; we do O(n) numpy per greedy step).
+numpy struct-of-arrays so every inner scan is one fused vectorized pass
+(the reference does per-object Python; we do O(n) numpy per greedy step,
+with the three column predicates — can-extend / accurately-extends /
+is-interrupted — sharing a single overlap computation).
 
 Semantics pinned against the reference (file:line cites):
 
@@ -26,7 +28,7 @@ deterministic and agrees with the reference wherever the reference is
 well-defined (all of its golden tests are tie-free).
 
 Input: an (n, 4) float64 rect matrix. Output: blocks of input indices.
-Complexity: O(n²) vectorized steps per page (reference: O(n²)–O(n³)
+Complexity: O(n²) fused-vector steps per page (reference: O(n²)–O(n³)
 scalar); pages are bounded, documents parallelize across Spark tasks.
 """
 
@@ -36,14 +38,12 @@ import numpy as np
 
 __all__ = ["sort_lines_indices", "needs_to_come_before", "sort_key"]
 
+_INF = np.inf
+
 
 def sort_key(r: np.ndarray) -> np.ndarray:
     """Primary scan order: top-to-bottom dominant (readingorder.py:49-52)."""
     return r[:, 0] + 2.0 * r[:, 1]
-
-
-def _mids(r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    return (r[:, 0] + r[:, 2]) / 2.0, (r[:, 1] + r[:, 3]) / 2.0
 
 
 def needs_to_come_before(r: np.ndarray, xm: np.ndarray, ym: np.ndarray, j: int) -> np.ndarray:
@@ -59,144 +59,209 @@ def needs_to_come_before(r: np.ndarray, xm: np.ndarray, ym: np.ndarray, j: int) 
     return top_left | left | top
 
 
-def _needs_to_come_before_scalar(
-    r: np.ndarray, xm: np.ndarray, ym: np.ndarray, i: int, js: np.ndarray
-) -> np.ndarray:
-    """``i needs_to_come_before j`` for a fixed i over an index array js."""
-    xmi, ymi = xm[i], ym[i]
-    top_left = ((xmi < xm[js]) & (ymi <= ym[js])) | ((xmi <= xm[js]) & (ymi < ym[js]))
-    left = (xmi < r[js, 0]) & ((ymi < r[js, 3]) | (r[i, 1] < ym[js]))
-    top = (ymi < r[js, 1]) & ((xmi < r[js, 2]) | (r[i, 0] < xm[js]))
-    return top_left | left | top
+class _Page:
+    """Struct-of-arrays page state shared by every predicate evaluation.
+
+    Carries preallocated scratch buffers reused by every fused predicate
+    pass: the greedy loop evaluates O(n²) tiny vector expressions, and heap
+    allocation of temporaries — not FLOPs — dominates and destroys
+    multi-process scaling (allocator contention across executor workers).
+    Every ufunc below writes into these buffers via ``out=``.
+    """
+
+    __slots__ = (
+        "r", "x0", "y0", "x1", "y1", "xm", "ym", "w", "h", "keys", "n",
+        "ov", "f1", "f2", "fm", "b1", "b2", "b3", "can", "acc", "intr",
+        "ntb", "other",
+    )
+
+    def __init__(self, r: np.ndarray):
+        self.r = r
+        self.x0 = np.ascontiguousarray(r[:, 0])
+        self.y0 = np.ascontiguousarray(r[:, 1])
+        self.x1 = np.ascontiguousarray(r[:, 2])
+        self.y1 = np.ascontiguousarray(r[:, 3])
+        self.xm = (self.x0 + self.x1) / 2.0
+        self.ym = (self.y0 + self.y1) / 2.0
+        self.w = self.x1 - self.x0
+        self.h = self.y1 - self.y0
+        self.keys = self.x0 + 2.0 * self.y0
+        n = r.shape[0]
+        self.n = n
+        self.ov = np.empty(n)
+        self.f1 = np.empty(n)
+        self.f2 = np.empty(n)
+        self.fm = np.empty(n)
+        self.other = np.empty(n, dtype=bool)
+        self.b1 = np.empty(n, dtype=bool)
+        self.b2 = np.empty(n, dtype=bool)
+        self.b3 = np.empty(n, dtype=bool)
+        self.can = np.empty(n, dtype=bool)
+        self.acc = np.empty(n, dtype=bool)
+        self.intr = np.empty(n, dtype=bool)
+        self.ntb = np.empty(n, dtype=bool)
+
+    def masked_argmin(self, vals: np.ndarray, mask: np.ndarray) -> int:
+        """argmin of ``vals`` over ``mask`` (lowest index on ties), -1 when
+        the mask is empty — allocation-free via the ``fm`` scratch."""
+        fm = self.fm
+        fm.fill(_INF)
+        np.copyto(fm, vals, where=mask)
+        j = int(np.argmin(fm))
+        return j if fm[j] != _INF else -1
+
+    def needs_to_come_before(self, j: int) -> np.ndarray:
+        """Fused, allocation-free ``i needs_to_come_before j`` for all i
+        (readingorder.py:54-81); result lives in the ``ntb`` buffer."""
+        x0, y0, xm, ym = self.x0, self.y0, self.xm, self.ym
+        xmj, ymj = xm[j], ym[j]
+        ntb, b1, b2, b3 = self.ntb, self.b1, self.b2, self.b3
+        # top_left: (xm<xmj & ym<=ymj) | (xm<=xmj & ym<ymj)
+        np.less(xm, xmj, out=ntb)
+        np.less_equal(ym, ymj, out=b1)
+        ntb &= b1
+        np.less_equal(xm, xmj, out=b2)
+        np.less(ym, ymj, out=b3)
+        b2 &= b3
+        ntb |= b2
+        # left: xm < r[j].x0 & (ym < r[j].y1 | y0 < ymj)
+        np.less(ym, self.y1[j], out=b1)
+        np.less(y0, ymj, out=b2)
+        b1 |= b2
+        np.less(xm, self.x0[j], out=b3)
+        b1 &= b3
+        ntb |= b1
+        # top: ym < r[j].y0 & (xm < r[j].x1 | x0 < xmj)
+        np.less(xm, self.x1[j], out=b1)
+        np.less(x0, xmj, out=b2)
+        b1 |= b2
+        np.less(ym, self.y0[j], out=b3)
+        b1 &= b3
+        ntb |= b1
+        return ntb
 
 
-def _distance_after(r: np.ndarray, xm: np.ndarray, idx: np.ndarray, j: int) -> np.ndarray:
-    """min corner distance from each idx line's top edge to line j's bottom
-    edge (readingorder.py:83-87): top-left→bottom-left, top-middle→
-    bottom-middle, top-right→bottom-right."""
-    dy = r[idx, 1] - r[j, 3]
-    left = np.hypot(r[idx, 0] - r[j, 0], dy)
-    middle = np.hypot(xm[idx] - xm[j], dy)
-    right = np.hypot(r[idx, 2] - r[j, 2], dy)
-    return np.minimum(np.minimum(left, middle), right)
+def _column_masks(
+    p: _Page,
+    cx0: float, cy0: float, cx1: float, cy1: float,
+    bofl: float, toll: float,
+    want_interrupt: bool,
+):
+    """One fused, allocation-free pass computing, for every page line:
 
+    * can   — ReadingOrderColumn.can_be_extended_by (readingorder.py:107-117)
+    * acc   — is_accurately_extended_by (readingorder.py:119-124)
+    * intr  — is_interrupted_by (readingorder.py:103-105), optional
 
-class _Column:
-    """ReadingOrderColumn (readingorder.py:90-124) on plain floats."""
-
-    __slots__ = ("x0", "y0", "x1", "y1", "bottom_of_first_line", "top_of_last_line")
-
-    def __init__(self, x0, y0, x1, y1, bottom_of_first_line, top_of_last_line):
-        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
-        self.bottom_of_first_line = bottom_of_first_line
-        self.top_of_last_line = top_of_last_line
-
-    def add_line_before(self, lr: np.ndarray) -> "_Column":
-        # rect union + the added (earlier) line's bottom becomes
-        # bottom_of_first_line (readingorder.py:96-101)
-        return _Column(
-            min(self.x0, lr[0]),
-            min(self.y0, lr[1]),
-            max(self.x1, lr[2]),
-            max(self.y1, lr[3]),
-            lr[3],
-            self.top_of_last_line,
-        )
-
-    def can_be_extended_by(
-        self, r: np.ndarray, ym: np.ndarray, idx: np.ndarray
-    ) -> np.ndarray:
-        """Vectorized readingorder.py:107-117 over index array ``idx``."""
-        rr = r[idx]
-        width = rr[:, 2] - rr[:, 0]
-        height = rr[:, 3] - rr[:, 1]
-        col_h = self.y1 - self.y0
-        col_w = self.x1 - self.x0
-        ov = np.minimum(self.x1, rr[:, 2]) - np.maximum(self.x0, rr[:, 0])
-        ov = np.where((self.x0 < rr[:, 2]) & (rr[:, 0] < self.x1), ov, 0.0)
-        return (
-            (ym[idx] > self.top_of_last_line)
-            & (rr[:, 1] - self.y1 < (col_h + height))
-            & ((ov > 0.8 * width) | (ov > 0.9 * col_w))
-        )
-
-    def is_accurately_extended_by(
-        self, r: np.ndarray, ym: np.ndarray, idx: np.ndarray
-    ) -> np.ndarray:
-        """Vectorized readingorder.py:119-124."""
-        rr = r[idx]
-        width = rr[:, 2] - rr[:, 0]
-        col_w = self.x1 - self.x0
-        ov = np.minimum(self.x1, rr[:, 2]) - np.maximum(self.x0, rr[:, 0])
-        ov = np.where((self.x0 < rr[:, 2]) & (rr[:, 0] < self.x1), ov, 0.0)
-        return (
-            self.can_be_extended_by(r, ym, idx)
-            & (ov > 0.6 * np.maximum(col_w, width))
-            & (self.y1 < rr[:, 3])
-        )
-
-    def is_interrupted_by_any(self, r: np.ndarray, ym: np.ndarray, idx: np.ndarray) -> bool:
-        """Vectorized any(is_interrupted_by) (readingorder.py:103-105)."""
-        rr = r[idx]
-        inter = (
-            (rr[:, 0] < self.x1)
-            & (self.x0 < rr[:, 2])
-            & (rr[:, 1] < self.y1)
-            & (self.y0 < rr[:, 3])
-        )
-        within = (self.bottom_of_first_line < ym[idx]) & (ym[idx] < self.top_of_last_line)
-        return bool(np.any(inter & within))
+    The three share the x-overlap computation the reference evaluates
+    independently per predicate per line. Results live in the page's
+    ``can``/``acc``/``intr`` scratch buffers (consumed before the next call).
+    """
+    ov, f1, f2 = p.ov, p.f1, p.f2
+    can, acc, intr, b1, b2 = p.can, p.acc, p.intr, p.b1, p.b2
+    # x_overlap: min(cx1, x1) - max(cx0, x0), clamped at 0 (ov>0 ⇔ strict overlap)
+    np.minimum(cx1, p.x1, out=ov)
+    np.maximum(cx0, p.x0, out=f1)
+    ov -= f1
+    np.maximum(ov, 0.0, out=ov)
+    col_w = cx1 - cx0
+    col_h = cy1 - cy0
+    # can: ym > toll  &  y0 - cy1 < col_h + h  &  (ov > .8w | ov > .9col_w)
+    np.multiply(p.w, 0.8, out=f1)
+    np.less(f1, ov, out=can)
+    np.less(col_w * 0.9, ov, out=b1)
+    can |= b1
+    np.greater(p.ym, toll, out=b1)
+    can &= b1
+    # y0 - cy1 < col_h + h, kept in the reference's exact expression shape
+    # (readingorder.py:110) — float rounding must not flip the comparison
+    np.subtract(p.y0, cy1, out=f2)
+    np.add(p.h, col_h, out=f1)
+    np.less(f2, f1, out=b2)
+    can &= b2
+    # acc: can & ov > .6*max(col_w, w) & cy1 < y1
+    np.maximum(p.w, col_w, out=f1)
+    f1 *= 0.6
+    np.less(f1, ov, out=acc)
+    acc &= can
+    np.less(cy1, p.y1, out=b1)
+    acc &= b1
+    if not want_interrupt:
+        return can, acc, None
+    # intr: fast_intersection(rect, col) & bofl < ym < toll
+    np.less(p.x0, cx1, out=intr)
+    np.less(cx0, p.x1, out=b1)
+    intr &= b1
+    np.less(p.y0, cy1, out=b1)
+    intr &= b1
+    np.less(cy0, p.y1, out=b1)
+    intr &= b1
+    np.greater(p.ym, bofl, out=b1)
+    intr &= b1
+    np.less(p.ym, toll, out=b1)
+    intr &= b1
+    return can, acc, intr
 
 
 def _current_column(
-    r: np.ndarray,
-    ym: np.ndarray,
-    current: int,
-    preceding: list[int],
-    n: int,
-) -> _Column:
+    p: _Page, current: int, preceding: list[int]
+) -> tuple[float, float, float, float, float, float]:
     """ReadingOrderColumn.current_column (readingorder.py:126-163).
 
     ``preceding`` = the current block minus its last line, in reading order.
     ``other`` starts as ALL page lines minus current (including lines already
     emitted in earlier blocks — faithful to the reference, which passes
     ``all_lines``), and preceding lines leave it as the column consumes them.
+
+    Returns (x0, y0, x1, y1, bottom_of_first_line, top_of_last_line).
     """
-    other = np.ones(n, dtype=bool)
+    other = p.other
+    other.fill(True)
     other[current] = False
-    column = _Column(r[current, 0], r[current, 1], r[current, 2], r[current, 3],
-                     r[current, 3], r[current, 1])
-    idx = np.flatnonzero(other)
-    accurate_count = int(np.count_nonzero(column.is_accurately_extended_by(r, ym, idx)))
+    cx0, cy0, cx1, cy1 = p.x0[current], p.y0[current], p.x1[current], p.y1[current]
+    bofl, toll = p.y1[current], p.y0[current]
+
+    _, acc, _ = _column_masks(p, cx0, cy0, cx1, cy1, bofl, toll, False)
+    acc &= other
+    accurate_count = int(np.count_nonzero(acc))
 
     for li in reversed(preceding):
-        new_column = column.add_line_before(r[li])
+        # add_line_before (readingorder.py:96-101): union + new first-line bottom
+        nx0 = min(cx0, p.x0[li])
+        ny0 = min(cy0, p.y0[li])
+        nx1 = max(cx1, p.x1[li])
+        ny1 = max(cy1, p.y1[li])
+        nbofl = p.y1[li]
         other[li] = False
-        idx = np.flatnonzero(other)
 
-        if new_column.is_interrupted_by_any(r, ym, idx):
+        _, acc, intr = _column_masks(p, nx0, ny0, nx1, ny1, nbofl, toll, True)
+        intr &= other
+        if bool(np.any(intr)):
             break
-
-        new_count = int(np.count_nonzero(new_column.is_accurately_extended_by(r, ym, idx)))
+        acc &= other
+        new_count = int(np.count_nonzero(acc))
         if new_count < accurate_count:
             break
         accurate_count = new_count
-        column = new_column
+        cx0, cy0, cx1, cy1, bofl = nx0, ny0, nx1, ny1, nbofl
 
-    return column
+    return cx0, cy0, cx1, cy1, bofl, toll
 
 
-def _starting_line(r, xm, ym, keys, remaining: np.ndarray) -> int:
+def _starting_line(p: _Page, remaining: np.ndarray) -> int:
     """starting_line_for_next_block (readingorder.py:166-175): iterated
     min-by-sort-key restricted to must-precede predecessors (fixpoint)."""
     candidates = remaining.copy()
     selected = -1
-    while candidates.any():
-        idx = np.flatnonzero(candidates)
-        selected = int(idx[np.argmin(keys[idx])])
+    while True:
+        sel = p.masked_argmin(p.keys, candidates)
+        if sel < 0:
+            break
+        selected = sel
         candidates[selected] = False
-        must_precede = needs_to_come_before(r, xm, ym, selected)
-        candidates &= must_precede
+        candidates &= p.needs_to_come_before(selected)
+        if not candidates.any():
+            return selected
     return selected
 
 
@@ -208,63 +273,71 @@ def sort_lines_indices(rects: np.ndarray) -> list[list[int]]:
     precedence cycles.
     """
     r = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
-    n = r.shape[0]
+    p = _Page(r)
+    n = p.n
     if n == 0:
         return []
-    xm, ym = _mids(r)
-    keys = sort_key(r)
 
     remaining = np.ones(n, dtype=bool)
+    n_remaining = n
     blocks: list[list[int]] = []
 
-    while remaining.any():
-        current = _starting_line(r, xm, ym, keys, remaining)
+    while n_remaining:
+        current = _starting_line(p, remaining)
         remaining[current] = False
+        n_remaining -= 1
         block = [current]
 
-        while remaining.any():
+        while n_remaining:
             next_line = -1
-            rem_idx = np.flatnonzero(remaining)
 
             # (i) lines that continue the current column (readingorder.py:193-202)
-            column = _current_column(r, ym, current, block[:-1], n)
-            in_col = rem_idx[column.can_be_extended_by(r, ym, rem_idx)]
-            if in_col.size:
-                highest = int(in_col[np.argmin(r[in_col, 1])])
-                before_highest = _needs_before_set(r, xm, ym, in_col, highest)
-                cand = np.append(before_highest, highest)
-                next_line = int(cand[np.argmin(r[cand, 0])])
+            cx0, cy0, cx1, cy1, bofl, toll = _current_column(p, current, block[:-1])
+            can, _, _ = _column_masks(p, cx0, cy0, cx1, cy1, bofl, toll, False)
+            can &= remaining  # can buffer free until the next _column_masks
+            highest = p.masked_argmin(p.y0, can)
+            if highest >= 0:
+                cand = p.needs_to_come_before(highest)
+                cand &= can
+                cand[highest] = True
+                next_line = p.masked_argmin(p.x0, cand)
 
             # (ii) nearest direct continuation within 20pt (readingorder.py:204-208)
+            # distance_after = min corner distance, top edge → current bottom
             if next_line < 0:
-                dist = _distance_after(r, xm, rem_idx, current)
-                following = rem_idx[dist < 20.0]
-                if following.size:
-                    next_line = int(following[np.argmin(r[following, 1])])
+                ov, f1, f2, b1 = p.ov, p.f1, p.f2, p.b1
+                np.subtract(p.y0, p.y1[current], out=f1)  # dy
+                np.subtract(p.x0, p.x0[current], out=f2)
+                np.hypot(f2, f1, out=ov)
+                np.subtract(p.xm, p.xm[current], out=f2)
+                np.hypot(f2, f1, out=f2)
+                np.minimum(ov, f2, out=ov)
+                np.subtract(p.x1, p.x1[current], out=f2)
+                np.hypot(f2, f1, out=f2)
+                np.minimum(ov, f2, out=ov)
+                np.less(ov, 20.0, out=b1)
+                b1 &= remaining
+                next_line = p.masked_argmin(p.y0, b1)
 
             if next_line < 0:
                 break
 
             current = next_line
             remaining[current] = False
+            n_remaining -= 1
 
             # push-back close (readingorder.py:216-218): if anything still
             # remaining must precede the chosen line, restore it and close.
-            rem_idx = np.flatnonzero(remaining)
-            if rem_idx.size and bool(
-                np.any(needs_to_come_before(r, xm, ym, current)[rem_idx])
-            ):
-                remaining[current] = True
-                break
+            if n_remaining:
+                ntb = p.needs_to_come_before(current)
+                ntb &= remaining
+                if bool(np.any(ntb)):
+                    remaining[current] = True
+                    n_remaining += 1
+                    break
 
             block.append(current)
 
         blocks.append(block)
 
     return blocks
-
-
-def _needs_before_set(r, xm, ym, idx: np.ndarray, j: int) -> np.ndarray:
-    """Subset of ``idx`` whose lines need to come before line j."""
-    mask = needs_to_come_before(r, xm, ym, j)[idx]
-    return idx[mask]

@@ -120,10 +120,15 @@ def _extract_batches(
         orient_all = struct.field("orientation").to_numpy(zero_copy_only=False)
 
         out_ids: list[str] = []
-        out_spans: list[list[tuple]] = []
         n_in: list[int] = []
-        n_out: list[int] = []
         n_pages: list[int] = []
+        # flat Arrow-native output construction (no per-span dict objects):
+        # four child columns + list offsets
+        flat_kind: list[str] = []
+        flat_text: list[str] = []
+        flat_media: list[str] = []
+        flat_off: list[int] = []
+        list_offsets: list[int] = [0]
         for row in range(batch.num_rows):
             lo, hi = int(offsets[row]), int(offsets[row + 1])
             result = extract_document(
@@ -138,24 +143,32 @@ def _extract_batches(
                 config,
             )
             out_ids.append(doc_ids[row].as_py())
-            out_spans.append(result)
+            for (k, t, m, o) in result:
+                flat_kind.append(k)
+                flat_text.append(t)
+                flat_media.append(m)
+                flat_off.append(o)
+            list_offsets.append(len(flat_kind))
             n_in.append(hi - lo)
-            n_out.append(len(result))
             n_pages.append(int(np.unique(page_all[lo:hi]).size) if hi > lo else 0)
 
+        struct_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(flat_kind, type=pa.string()),
+                pa.array(flat_text, type=pa.string()),
+                pa.array(flat_media, type=pa.string()),
+                pa.array(flat_off, type=pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(list_offsets, type=pa.int32()), struct_arr
+        )
+        n_out = np.diff(np.asarray(list_offsets, dtype=np.int64))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(out_ids, type=pa.string()),
-                pa.array(
-                    [
-                        [
-                            {"kind": k, "text": t, "media_ref": m, "offset": o}
-                            for (k, t, m, o) in doc
-                        ]
-                        for doc in out_spans
-                    ],
-                    type=_OUT_ARROW.field("spans_out").type,
-                ),
+                spans_out.cast(_OUT_ARROW.field("spans_out").type),
                 pa.array(n_in, type=pa.int32()),
                 pa.array(n_out, type=pa.int32()),
                 pa.array(n_pages, type=pa.int32()),
@@ -169,6 +182,7 @@ def extract_pipeline(
     config: ExtractConfig | None = None,
     num_partitions: int | None = None,
     done_df: DataFrame | None = None,
+    repartition: bool = True,
 ) -> DataFrame:
     """spans(doc_id, spans) → (doc_id, spans_out, n_spans_in, n_spans_out,
     n_pages), partitioned by hash(doc_id), with mega-docs split page-wise.
@@ -195,10 +209,15 @@ def extract_pipeline(
     small = sized.filter(F.col("_n") <= config.mega_doc_span_cutoff).drop("_n")
     big = sized.filter(F.col("_n") > config.mega_doc_span_cutoff).drop("_n")
 
-    def run_kernel(df: DataFrame) -> DataFrame:
-        return df.repartition(n_part, "doc_id").mapInArrow(
-            lambda it: _extract_batches(it, config), OUT_SCHEMA
-        )
+    def run_kernel(df: DataFrame, force_shuffle: bool = False) -> DataFrame:
+        # The explicit hash(doc_id) repartition (north rule) evens out the
+        # kernel load for arbitrary input. When the table is already
+        # bucketed/partitioned by doc_id upstream (the steady state for a
+        # 100 TB Iceberg table), ``repartition=False`` skips the redundant
+        # full-corpus shuffle — the single biggest cost after the kernel.
+        if repartition or force_shuffle:
+            df = df.repartition(n_part, "doc_id")
+        return df.mapInArrow(lambda it: _extract_batches(it, config), OUT_SCHEMA)
 
     small_out = run_kernel(small)
 

@@ -53,6 +53,22 @@ def out_spans_schema_ddl() -> str:
     return "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 
 
+def replicate_documents(docs: DataFrame, factor: int) -> DataFrame:
+    """Deterministically scale the corpus ×factor: replica r of a document
+    keeps its text but gets doc_id '<id>-r' (distinct hash → distinct
+    layout class, preserving the corpus mix). Used by the bench to size the
+    job so kernel compute dominates scheduler fixed costs."""
+    if factor <= 1:
+        return docs
+    return docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep"),
+        *[c for c in docs.columns],
+    ).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-"), F.col("_rep")).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+
+
 def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
     """documents(doc_id, text) → (doc_id string, spans) deterministic."""
     d = docs.select(
