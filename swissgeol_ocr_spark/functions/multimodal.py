@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed in Arrow-batched kernels.
+
+The reference's media handling (P5 JPX→JPG normalize, P6 crop-to-page,
+P7 size-budget downscale loop, P8 stencil invert — crop.py:25-194,
+applyocr.py:34-49) is pixel work tied to PyMuPDF/PIL, which are not in
+this container. The Spark-side plumbing here is REAL and tested — schema,
+partitioning, batch shape, budget accounting — while the pixel kernels are
+deterministic stand-ins behind ``_decode_stub`` (clearly marked; swap in a
+real codec on a cluster image that ships one).
+
+Operators:
+* ``media_table_schema``      — binary payload + typed metadata struct
+* ``normalize_media``         — P5-shaped format normalization (jpx→jpg)
+* ``downscale_oversized``     — P7 ≤10MB budget loop as metadata transform
+* ``extract_media_features``  — mapInPandas feature extraction (batched;
+                                deterministic digest-based fake features)
+* ``sample_frames``           — video frame sampling plan (offsets only)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TEN_MB = 10 * 1024 * 1024  # the reference's page-payload budget (applyocr.py:34)
+MAX_DOWNSCALE_ITERS = 10  # applyocr.py:37
+
+
+def media_table_schema() -> str:
+    return (
+        "media_ref string, doc_id string, kind string, "
+        "payload binary, "
+        "meta struct<format:string, width:int, height:int, "
+        "n_bytes:bigint, duration_ms:bigint>"
+    )
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """STUB for the pixel decode step — the image/audio codecs are not in
+    this container. Produces a deterministic 8×8 'pixel' block from the
+    payload digest so downstream plumbing is exercised end-to-end with
+    stable values. Replace with a real decoder (PIL/ffmpeg) on a cluster
+    image that ships one."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
+
+
+def normalize_media(media: DataFrame) -> DataFrame:
+    """P5 (crop.py:126-142): viewer-hostile formats are re-encoded. As a
+    metadata transform: jpx/jp2 become jpg; payload passthrough (the stub
+    re-encode is the identity — format conversion happens in the real
+    codec kernel)."""
+    fmt = F.col("meta.format")
+    new_fmt = F.when(fmt.isin("jpx", "jp2"), F.lit("jpg")).otherwise(fmt)
+    return media.withColumn(
+        "meta",
+        F.struct(
+            new_fmt.alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+    )
+
+
+def downscale_oversized(media: DataFrame) -> DataFrame:
+    """P7 (applyocr.py:34-49): halve resolution until the payload fits the
+    10MB budget, at most 10 iterations; items that still don't fit are
+    flagged for skipping (the reference skips the page). Pure column math
+    over the metadata — each halving quarters the byte estimate."""
+    n_bytes = F.col("meta.n_bytes")
+    # number of halvings needed: smallest k ≤ 10 with n/4^k < 10MB
+    k = F.ceil(F.log(4.0, n_bytes / F.lit(float(TEN_MB))))
+    k = F.greatest(F.lit(0), F.least(F.lit(MAX_DOWNSCALE_ITERS), k.cast("int")))
+    fits = (n_bytes / F.pow(F.lit(4.0), k.cast("double"))) < F.lit(float(TEN_MB))
+    return media.select(
+        "*",
+        k.alias("downscale_iters"),
+        (~fits).alias("skip_oversized"),
+        (F.col("meta.width") / F.pow(F.lit(2.0), k.cast("double"))).cast("int").alias("eff_width"),
+        (F.col("meta.height") / F.pow(F.lit(2.0), k.cast("double"))).cast("int").alias("eff_height"),
+    )
+
+
+def extract_media_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column via
+    ``mapInPandas`` — the batch shape (one pandas chunk = many media rows,
+    decode + reduce inside, no per-row Python UDF) is the real pattern; the
+    decode itself is the deterministic stub."""
+
+    out_schema = (
+        "media_ref string, doc_id string, "
+        "mean_intensity double, feature_hash string"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                block = _decode_stub(bytes(payload) if payload is not None else b"")
+                feats.append(
+                    (
+                        float(block.mean()),
+                        hashlib.md5(block.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "mean_intensity": [f[0] for f in feats],
+                    "feature_hash": [f[1] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(kernel, out_schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame offset
+    (explode over a sequence — the decode of each frame is the stubbed
+    kernel above). Partitioning: frames inherit the media row's partition;
+    no shuffle."""
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_ref",
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.lit(0), F.col("meta.duration_ms") - 1),
+                F.lit(every_ms),
+            )
+        ).alias("frame_offset_ms"),
+    )

@@ -196,6 +196,42 @@ def _line_span(i: Column) -> Column:
     )
 
 
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table matching
+    functions/multimodal.media_table_schema(): one media row per document,
+    payload = utf-8 text bytes (an opaque blob as far as the engine is
+    concerned), format/kind/dims derived by hash arithmetic."""
+    h = F.xxhash64(F.col("doc_id").cast("string"))
+    kind = (
+        F.when(F.pmod(h, F.lit(3)) == 0, F.lit("image"))
+        .when(F.pmod(h, F.lit(3)) == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    fmt = (
+        F.when(F.pmod(h, F.lit(5)) == 0, F.lit("jpx"))
+        .when(F.pmod(h, F.lit(5)) == 1, F.lit("jp2"))
+        .when(F.pmod(h, F.lit(5)) == 2, F.lit("jpg"))
+        .when(F.pmod(h, F.lit(5)) == 3, F.lit("png"))
+        .otherwise(F.lit("mp4"))
+    )
+    n_bytes = (F.length("text").cast("bigint") + 1) * (
+        F.pmod(h, F.lit(1_000_000)) + 1
+    )
+    return docs.select(
+        F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            (F.pmod(h, F.lit(4000)) + 100).cast("int").alias("width"),
+            (F.pmod(h, F.lit(3000)) + 100).cast("int").alias("height"),
+            n_bytes.alias("n_bytes"),
+            (F.pmod(h, F.lit(60_000)) + 1000).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def _media_span(p: Column) -> Column:
     return F.struct(
         F.lit("media").alias("kind"),

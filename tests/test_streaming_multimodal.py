@@ -1,0 +1,112 @@
+"""Streaming pipeline + multimodal plumbing tests."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from swissgeol_ocr_spark.functions.multimodal import (
+    TEN_MB,
+    downscale_oversized,
+    extract_media_features,
+    normalize_media,
+    sample_frames,
+)
+from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+from swissgeol_ocr_spark.sources.corpus import (
+    documents_to_spans,
+    media_table_from_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    return media_table_from_documents(docs).cache()
+
+
+class TestMultimodal:
+    def test_schema(self, media_df):
+        fields = {f.name for f in media_df.schema.fields}
+        assert fields == {"media_ref", "doc_id", "kind", "payload", "meta"}
+        assert dict(media_df.dtypes)["payload"] == "binary"
+
+    def test_normalize_media_jpx_to_jpg(self, media_df):
+        out = normalize_media(media_df)
+        assert out.filter(F.col("meta.format").isin("jpx", "jp2")).count() == 0
+        # non-jpx formats untouched
+        before = media_df.filter(~F.col("meta.format").isin("jpx", "jp2")).count()
+        after = out.filter(F.col("meta.format").isin("jpg", "png", "mp4")).count()
+        assert after >= before
+
+    def test_downscale_budget_semantics(self, media_df):
+        out = downscale_oversized(media_df)
+        rows = out.select("meta.n_bytes", "downscale_iters", "skip_oversized").collect()
+        for r in rows:
+            k = r.downscale_iters
+            assert 0 <= k <= 10
+            fits = r.n_bytes / (4.0**k) < TEN_MB
+            assert fits == (not r.skip_oversized)
+            if k > 0:  # minimality: k-1 halvings would not have fit
+                assert r.n_bytes / (4.0 ** (k - 1)) >= TEN_MB
+
+    def test_feature_extraction_batched_and_deterministic(self, media_df):
+        out = extract_media_features(media_df)
+        rows = {r.media_ref: r for r in out.collect()}
+        assert len(rows) == media_df.count()
+        src = {r.media_ref: bytes(r.payload) for r in media_df.collect()}
+        for ref, r in rows.items():
+            digest = hashlib.sha256(src[ref]).digest()
+            import numpy as np
+
+            block = np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
+            assert r.mean_intensity == pytest.approx(float(block.mean()))
+            assert r.feature_hash == hashlib.md5(block.tobytes()).hexdigest()
+
+    def test_sample_frames_plan(self, media_df):
+        frames = sample_frames(media_df, every_ms=1000)
+        per = frames.groupBy("media_ref").count().collect()
+        durations = {
+            r.media_ref: r.duration_ms
+            for r in media_df.filter(F.col("kind") == "video")
+            .select("media_ref", F.col("meta.duration_ms").alias("duration_ms"))
+            .collect()
+        }
+        assert len(per) == len(durations)
+        for r in per:
+            expected = math.floor((durations[r.media_ref] - 1) / 1000) + 1
+            assert r["count"] == expected
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        """availableNow streaming over the same spans corpus must produce
+        exactly the batch pipeline's output (same kernel, two modes)."""
+        from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        spans = documents_to_spans(docs)
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        spans.write.parquet(in_dir)
+
+        q = run_stream_to_parquet(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+
+        stream_out = {
+            r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        batch_out = {
+            r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+            for r in extract_pipeline(spans, repartition=False).collect()
+        }
+        assert stream_out == batch_out
+
+        # restart with the same checkpoint: no new files → no duplicates
+        q2 = run_stream_to_parquet(spark, in_dir, out_dir, ckpt)
+        q2.awaitTermination(60)
+        assert spark.read.parquet(out_dir).count() == len(batch_out)
