@@ -449,6 +449,78 @@ FROM documents
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: within a label partition, pairs with
+    cosine ≥ 0.95 (the candidate-bounded exact variant; the LSH bucket is
+    the scale path for unpartitioned corpora)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("label"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("a_id") < F.col("b_id"))
+    sim = F.round(simsearch.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+SQL_DEDUP_EMBED = """
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), expl AS (
+  SELECT a_id, b_id,
+         CAST(unnest(va) AS DOUBLE) AS x,
+         CAST(unnest(vb) AS DOUBLE) AS y
+  FROM pairs
+), scored AS (
+  SELECT a_id, b_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos_sim
+  FROM expl GROUP BY a_id, b_id
+)
+SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.95
+"""
+
+
+def q_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode ordering (the relational face of span offset assignment,
+    SURVEY §2.8): one row per word with its dense position."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("doc_id") % 25 == 0)
+
+
+SQL_WORD_POS = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (T6's fuzzy union-distinct has this as its exact
+    relational face): sources present in documents but absent among
+    low-char docs."""
+    docs = _t(spark, sf_dir, "documents")
+    all_sources = docs.select("source").distinct()
+    low = docs.filter(F.col("n_chars") < 160).select("source").distinct()
+    return all_sources.exceptAll(low)
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT source FROM documents
+EXCEPT
+SELECT DISTINCT source FROM documents WHERE n_chars < 160
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators: similarity search
 # ---------------------------------------------------------------------------
@@ -688,6 +760,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBED),
+    "word_positions": (q_word_positions, SQL_WORD_POS),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "langid": (q_langid, SQL_LANGID),
