@@ -43,21 +43,35 @@ def is_digitally_born(kinds: np.ndarray, rects: np.ndarray) -> bool:
 
     Fold in draw (offset) order: visible text grows the union and resets the
     covered flag; an image containing the whole union sets it. Empty text
-    rects are ignored (util.py:26-27).
+    rects are ignored (util.py:26-27). Scalar fold — no Rect objects; the
+    pymupdf empty-union quirk (Rect() == (0,0,0,0), contained iff the image
+    covers the origin) is preserved exactly.
     """
-    union = Rect()
+    ux0 = uy0 = ux1 = uy1 = 0.0  # pymupdf.Rect() — the empty union
+    have_text = False
     all_text_covered = False
     has_image = False
-    for k, (x0, y0, x1, y1) in zip(kinds, rects):
-        rect = Rect(x0, y0, x1, y1)
-        if k == KIND_TEXT and not rect.is_empty:
-            all_text_covered = False
-            union = union | rect
+    rl = rects.tolist()
+    for i, k in enumerate(kinds.tolist()):
+        if k == KIND_TEXT:
+            x0, y0, x1, y1 = rl[i]
+            if x0 < x1 and y0 < y1:  # non-empty
+                all_text_covered = False
+                if have_text:
+                    if x0 < ux0: ux0 = x0
+                    if y0 < uy0: uy0 = y0
+                    if x1 > ux1: ux1 = x1
+                    if y1 > uy1: uy1 = y1
+                else:
+                    ux0, uy0, ux1, uy1 = x0, y0, x1, y1
+                    have_text = True
         elif k == KIND_MEDIA:
             has_image = True
-            if rect.contains(union):
+            x0, y0, x1, y1 = rl[i]
+            if x0 <= ux0 <= ux1 <= x1 and y0 <= uy0 <= uy1 <= y1:
                 all_text_covered = True
-    return not (has_image and (union.is_empty or all_text_covered))
+    union_empty = not have_text
+    return not (has_image and (union_empty or all_text_covered))
 
 
 def find_old_ocr_spans(kinds: np.ndarray, rects: np.ndarray) -> list[int]:
@@ -69,16 +83,27 @@ def find_old_ocr_spans(kinds: np.ndarray, rects: np.ndarray) -> list[int]:
     """
     ignore_idx: list[int] = []
     visible_idx: list[int] = []
-    union = Rect()
+    ux0 = uy0 = ux1 = uy1 = 0.0
+    have_text = False
     all_text_covered = False
-    for i, (k, (x0, y0, x1, y1)) in enumerate(zip(kinds, rects)):
-        rect = Rect(x0, y0, x1, y1)
-        if k == KIND_TEXT and not rect.is_empty:
-            all_text_covered = False
-            union = union | rect
-            visible_idx.append(i)
+    rl = rects.tolist()
+    for i, k in enumerate(kinds.tolist()):
+        if k == KIND_TEXT:
+            x0, y0, x1, y1 = rl[i]
+            if x0 < x1 and y0 < y1:
+                all_text_covered = False
+                if have_text:
+                    if x0 < ux0: ux0 = x0
+                    if y0 < uy0: uy0 = y0
+                    if x1 > ux1: ux1 = x1
+                    if y1 > uy1: uy1 = y1
+                else:
+                    ux0, uy0, ux1, uy1 = x0, y0, x1, y1
+                    have_text = True
+                visible_idx.append(i)
         elif k == KIND_MEDIA:
-            if rect.contains(union):
+            x0, y0, x1, y1 = rl[i]
+            if x0 <= ux0 <= ux1 <= x1 and y0 <= uy0 <= uy1 <= y1:
                 all_text_covered = True
         elif k == KIND_OCR:
             ignore_idx.append(i)

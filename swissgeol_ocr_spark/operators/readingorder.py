@@ -215,11 +215,16 @@ def _current_column(
 
     Returns (x0, y0, x1, y1, bottom_of_first_line, top_of_last_line).
     """
+    cx0, cy0, cx1, cy1 = p.x0[current], p.y0[current], p.x1[current], p.y1[current]
+    bofl, toll = p.y1[current], p.y0[current]
+    if not preceding:
+        # the walk has nothing to consume; the initial accurate-extender
+        # count is only ever used for comparisons inside the walk
+        return cx0, cy0, cx1, cy1, bofl, toll
+
     other = p.other
     other.fill(True)
     other[current] = False
-    cx0, cy0, cx1, cy1 = p.x0[current], p.y0[current], p.x1[current], p.y1[current]
-    bofl, toll = p.y1[current], p.y0[current]
 
     _, acc, _ = _column_masks(p, cx0, cy0, cx1, cy1, bofl, toll, False)
     acc &= other
