@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from swissgeol_ocr_spark.functions.geom import Rect
-
 # integer kind codes used throughout the kernels
 KIND_TEXT = 0
 KIND_PATH = 1
