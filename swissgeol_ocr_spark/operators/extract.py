@@ -49,6 +49,7 @@ from swissgeol_ocr_spark.operators.classify import (
     find_old_ocr_spans,
     is_digitally_born,
 )
+from swissgeol_ocr_spark.operators.assemble import lines_from_words
 from swissgeol_ocr_spark.operators.clean import clean_old_ocr_aggressive
 from swissgeol_ocr_spark.operators.confidence import filter_blocks
 from swissgeol_ocr_spark.operators.derotate import derotate_rects_batch
@@ -141,6 +142,26 @@ def _extract_page(
 
     cand_arr = np.array(cand, dtype=np.int64)
     cand_rects = rects[cand_arr]
+    cand_texts = [texts[int(i)] for i in cand_arr]
+    cand_confs = confidences[cand_arr]
+    cand_orients = orientations[cand_arr]
+
+    if config.build_lines_from_words:
+        # E1 layout detection over word-granularity detections: band-group
+        # words into lines (assemble.lines_from_words); line confidence =
+        # mean of its words; orientation = first word's (the reference's
+        # "rotation of first word applies to the line", textline.py:40-42)
+        grouped = lines_from_words(cand_texts, cand_rects)
+        if not grouped:
+            return emitted
+        cand_texts = [t for t, _, _ in grouped]
+        cand_rects = np.array([r for _, r, _ in grouped], dtype=np.float64)
+        cand_confs = np.array(
+            [float(np.mean(cand_confs[w])) for _, _, w in grouped]
+        )
+        cand_orients = np.array(
+            [float(cand_orients[w[0]]) for _, _, w in grouped]
+        )
 
     # T1/T6: per-tile detection + asymmetric 60% dedup (textract.py:98-131).
     # The full-page window is always first, so the merge preserves first-seen
@@ -163,23 +184,22 @@ def _extract_page(
     if not kept_local:
         return emitted
 
-    lines = cand_arr[kept_local]
-    line_rects = cand_rects[np.array(kept_local, dtype=np.int64)]
+    lines = np.array(kept_local, dtype=np.int64)
+    line_rects = cand_rects[lines]
 
     # T5: derotation snap — emitted geometry only; ordering uses rect
-    derotate_rects_batch(line_rects, orientations[lines], page_h)
+    derotate_rects_batch(line_rects, cand_orients[lines], page_h)
 
     # R6: reading order
     blocks_local = sort_lines_indices(line_rects)
 
     # C5/C6: two-tier confidence filter + mask suppression
     kept = filter_blocks(
-        blocks_local, confidences[lines], line_rects, mask, config.confidence_threshold
+        blocks_local, cand_confs[lines], line_rects, mask, config.confidence_threshold
     )
 
     for k in kept:
-        gi = int(lines[k])
-        emitted.append(("ocr-text", texts[gi], "", -1))
+        emitted.append(("ocr-text", cand_texts[int(lines[k])], "", -1))
     return emitted
 
 

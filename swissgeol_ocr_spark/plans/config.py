@@ -25,3 +25,8 @@ class ExtractConfig:
     # (applyocr.py:34-49): pages with more candidate lines than this are
     # skipped (emit base layer only), keeping a 10^12-doc job alive.
     max_lines_per_page: int = 50_000
+    # When the input carries word-level spans (the raw detection granularity
+    # — Textract WORD blocks in the reference), group them into text lines
+    # first via the E1 band/word-join rules (assemble.lines_from_words);
+    # line confidence = mean of word confidences.
+    build_lines_from_words: bool = False

@@ -132,3 +132,19 @@ def test_reading_order_two_columns_in_extraction():
     out = _doc(spans)
     texts = [t for k, t, _, _ in out if k == "ocr-text"]
     assert texts == ["banner", "left-0", "left-1", "left-2", "right-0", "right-1", "right-2"]
+
+
+def test_word_level_extraction_builds_lines():
+    # E1 layout detection: word-granularity detections grouped into lines
+    # with the word-join space rule (draw.py:34-39) before reading order
+    cfg = ExtractConfig(use_aggressive_strategy=False, build_lines_from_words=True)
+    spans = [("media", "", "scan", 0, (0, 0, 600, 800))]
+    # line 1: "Hello world" as two word spans (gap → space)
+    spans.append(("ocr-text", "Hello", "", 0, (50, 100, 90, 112), 0.9))
+    spans.append(("ocr-text", "world", "", 0, (95, 101, 140, 112), 0.9))
+    # line 2: "foobar" split with NO gap (next.x0 == cur.x1 → no space)
+    spans.append(("ocr-text", "foo", "", 0, (50, 120, 70, 132), 0.9))
+    spans.append(("ocr-text", "bar", "", 0, (70, 121, 95, 132), 0.9))
+    out = _doc(spans, cfg)
+    texts = [t for k, t, _, _ in out if k == "ocr-text"]
+    assert texts == ["Hello world", "foobar"]
