@@ -47,9 +47,12 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
-    w = words(text)
+def shingles_of_words(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of an already-materialized words array.
+
+    Pass a *column reference* (not an inline ``split(...)`` expression):
+    expressions referenced inside ``transform`` lambdas are re-evaluated per
+    element, so an inline split would cost O(words²) per row."""
     return F.array_distinct(
         F.when(
             F.size(w) >= n,
@@ -61,6 +64,13 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Prefer materializing the words array and calling ``shingles_of_words``
+    in hot paths (see that docstring)."""
+    return shingles_of_words(words(text), n)
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """md5 of the lower-cased, whitespace-collapsed, punctuation-free text —
     the document fingerprint both engines compute bit-identically."""
@@ -70,13 +80,15 @@ def normalized_fingerprint(text: Column) -> Column:
 
 
 def minhash_signature(shingle_array: Column, k: int = 8) -> Column:
-    """k-element MinHash signature: per hash seed i, the lexicographic min
-    of md5(i || '|' || shingle). array<string> of length k."""
+    """k-element MinHash signature from ONE md5 per shingle: the 32-hex
+    digest is sliced into k 4-hex sub-hashes and each signature element is
+    the lexicographic min of its slice over the shingles (the standard
+    split-one-strong-hash construction — 8× cheaper than k independent
+    hashes, and engine-portable). array<string> of length k."""
+    digests = F.transform(shingle_array, lambda s: F.md5(s))
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_array, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
+            F.array_min(F.transform(digests, lambda d: F.substring(d, i * 4 + 1, 4)))
             for i in range(k)
         ]
     )

@@ -317,8 +317,10 @@ FROM documents GROUP BY md5(text)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-3-gram Jaccard ≥ 0.5 within the same
     source (shingle equi-join, pair counts vs per-doc shingle counts)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", textops.shingles(F.col("text")).alias("sh")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+        .select("doc_id", "source", textops.shingles_of_words(F.col("w")).alias("sh"))
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     ex = docs.select("doc_id", "source", F.explode("sh").alias("shingle"))
@@ -375,8 +377,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 md5-min signatures, 4 bands × 2
     rows; candidate pairs collide on a band key (one shuffle on the band
     key instead of an all-pairs product)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", textops.shingles(F.col("text")).alias("sh")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", textops.shingles_of_words(F.col("w")).alias("sh"))
     )
     sig = docs.select("doc_id", textops.minhash_signature(F.col("sh")).alias("sig"))
     banded = sig.select(
@@ -404,17 +408,19 @@ WITH sh AS (
                   string_split(text, ' ')[i+2])
          ELSE [text] END) AS shingles
   FROM documents
+), dg AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS digests FROM sh
 ), sig AS (
   SELECT doc_id,
-         [list_min(list_transform(shingles, s -> md5('0|' || s))),
-          list_min(list_transform(shingles, s -> md5('1|' || s))),
-          list_min(list_transform(shingles, s -> md5('2|' || s))),
-          list_min(list_transform(shingles, s -> md5('3|' || s))),
-          list_min(list_transform(shingles, s -> md5('4|' || s))),
-          list_min(list_transform(shingles, s -> md5('5|' || s))),
-          list_min(list_transform(shingles, s -> md5('6|' || s))),
-          list_min(list_transform(shingles, s -> md5('7|' || s)))] AS sig
-  FROM sh
+         [list_min(list_transform(digests, d -> substr(d, 1, 4))),
+          list_min(list_transform(digests, d -> substr(d, 5, 4))),
+          list_min(list_transform(digests, d -> substr(d, 9, 4))),
+          list_min(list_transform(digests, d -> substr(d, 13, 4))),
+          list_min(list_transform(digests, d -> substr(d, 17, 4))),
+          list_min(list_transform(digests, d -> substr(d, 21, 4))),
+          list_min(list_transform(digests, d -> substr(d, 25, 4))),
+          list_min(list_transform(digests, d -> substr(d, 29, 4)))] AS sig
+  FROM dg
 ), banded AS (
   SELECT doc_id, unnest([
     '0:' || sig[1] || ':' || sig[2],
