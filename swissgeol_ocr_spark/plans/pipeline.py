@@ -31,7 +31,7 @@ from swissgeol_ocr_spark.plans.config import ExtractConfig
 OUT_SCHEMA = (
     "doc_id string, "
     "spans_out array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "n_spans_in int, n_spans_out int, n_pages int"
+    "n_spans_in int, n_spans_out int, n_pages int, status string"
 )
 
 _OUT_ARROW = pa.schema(
@@ -53,6 +53,7 @@ _OUT_ARROW = pa.schema(
         ("n_spans_in", pa.int32()),
         ("n_spans_out", pa.int32()),
         ("n_pages", pa.int32()),
+        ("status", pa.string()),
     ]
 )
 
@@ -129,19 +130,28 @@ def _extract_batches(
         flat_media: list[str] = []
         flat_off: list[int] = []
         list_offsets: list[int] = [0]
+        statuses: list[str] = []
         for row in range(batch.num_rows):
             lo, hi = int(offsets[row]), int(offsets[row + 1])
-            result = extract_document(
-                kinds_all[lo:hi],
-                texts_all[lo:hi],
-                media_all[lo:hi],
-                off_all[lo:hi],
-                page_all[lo:hi],
-                rect_all[lo:hi],
-                conf_all[lo:hi],
-                orient_all[lo:hi],
-                config,
-            )
+            try:
+                result = extract_document(
+                    kinds_all[lo:hi],
+                    texts_all[lo:hi],
+                    media_all[lo:hi],
+                    off_all[lo:hi],
+                    page_all[lo:hi],
+                    rect_all[lo:hi],
+                    conf_all[lo:hi],
+                    orient_all[lo:hi],
+                    config,
+                )
+                statuses.append("ok")
+            except Exception as exc:  # poison row → quarantine, keep the job alive
+                # (reference analogue: error-class-specific skip, SURVEY §4;
+                # the row is preserved with an empty output + error status so
+                # the metrics table records it and resume won't retry forever)
+                result = []
+                statuses.append(f"error:{type(exc).__name__}")
             out_ids.append(doc_ids[row].as_py())
             for (k, t, m, o) in result:
                 flat_kind.append(k)
@@ -172,6 +182,7 @@ def _extract_batches(
                 pa.array(n_in, type=pa.int32()),
                 pa.array(n_out, type=pa.int32()),
                 pa.array(n_pages, type=pa.int32()),
+                pa.array(statuses, type=pa.string()),
             ],
             schema=_OUT_ARROW,
         )
@@ -245,7 +256,9 @@ def extract_pipeline(
         .groupBy("orig_doc_id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("page_no", "spans_out", "n_spans_in", "n_spans_out"))
+                F.collect_list(
+                    F.struct("page_no", "spans_out", "n_spans_in", "n_spans_out", "status")
+                )
             ).alias("pages"),
         )
         .select(
@@ -253,6 +266,7 @@ def extract_pipeline(
             F.flatten(F.transform("pages", lambda p: p["spans_out"])).alias("flat"),
             F.aggregate("pages", F.lit(0), lambda a, p: a + p["n_spans_in"]).alias("n_spans_in"),
             F.size("pages").cast("int").alias("n_pages"),
+            F.filter("pages", lambda p: p["status"] != "ok").alias("_errs"),
         )
         .select(
             "doc_id",
@@ -268,8 +282,11 @@ def extract_pipeline(
             "n_spans_in",
             F.size("flat").cast("int").alias("n_spans_out"),
             "n_pages",
+            F.when(F.size("_errs") == 0, F.lit("ok"))
+            .otherwise(F.element_at("_errs", 1)["status"])
+            .alias("status"),
         )
-        .select("doc_id", "spans_out", "n_spans_in", "n_spans_out", "n_pages")
+        .select("doc_id", "spans_out", "n_spans_in", "n_spans_out", "n_pages", "status")
     )
 
     return small_out.unionByName(reassembled)
@@ -284,6 +301,7 @@ def metrics_table(out_df: DataFrame, run_id: str) -> DataFrame:
         "n_pages",
         "n_spans_in",
         "n_spans_out",
+        "status",
         F.spark_partition_id().alias("partition_id"),
         F.lit(run_id).alias("run_id"),
         F.current_timestamp().alias("ts"),
@@ -304,5 +322,6 @@ def write_output(
         spark = out_df.sparkSession
         committed = spark.read.parquet(path).filter(F.col("run_id") == run_id)
         metrics_table(
-            committed.select("doc_id", "n_pages", "n_spans_in", "n_spans_out"), run_id
+            committed.select("doc_id", "n_pages", "n_spans_in", "n_spans_out", "status"),
+            run_id,
         ).write.mode("append").parquet(metrics_path)

@@ -48,3 +48,48 @@ def test_write_resume_roundtrip(spark, sf_dir, tmp_path):
         committed.alias("c"), "doc_id"
     ).filter(F.col("m.n_spans_out") != F.col("c.n_spans_out"))
     assert joined.count() == 0
+
+
+def test_quarantine_poison_row(monkeypatch):
+    """A document whose kernel raises must not kill the batch: it lands with
+    empty output and an error status (driver-side invocation of the Arrow
+    kernel driver, no Spark needed)."""
+    import pyarrow as pa
+
+    from swissgeol_ocr_spark.plans import pipeline as pl
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+
+    real = pl.extract_document
+
+    def poisoned(kinds, texts, *args, **kwargs):
+        if texts and texts[0] == "POISON":
+            raise ValueError("boom")
+        return real(kinds, texts, *args, **kwargs)
+
+    monkeypatch.setattr(pl, "extract_document", poisoned)
+
+    in_type = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()),
+             ("offset", pa.int32()), ("page_no", pa.int32()), ("x0", pa.float64()),
+             ("y0", pa.float64()), ("x1", pa.float64()), ("y1", pa.float64()),
+             ("confidence", pa.float64()), ("orientation", pa.float64())]
+        )
+    )
+
+    def span(text):
+        return {"kind": "text", "text": text, "media_ref": "", "offset": 0,
+                "page_no": 0, "x0": 10.0, "y0": 10.0, "x1": 100.0, "y1": 20.0,
+                "confidence": 1.0, "orientation": 0.0}
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["good", "bad", "good2"]),
+         pa.array([[span("hello")], [span("POISON")], [span("world")]], type=in_type)],
+        names=["doc_id", "spans"],
+    )
+    out = list(pl._extract_batches(iter([batch]), ExtractConfig()))[0]
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows["good"]["status"] == "ok" and rows["good"]["n_spans_out"] == 1
+    assert rows["good2"]["status"] == "ok"
+    assert rows["bad"]["status"] == "error:ValueError"
+    assert rows["bad"]["spans_out"] == [] and rows["bad"]["n_spans_out"] == 0
