@@ -23,8 +23,11 @@ class ExtractConfig:
     mega_doc_span_cutoff: int = 20_000
     # Guard replacing the reference's 10MB page-payload limit
     # (applyocr.py:34-49): pages with more candidate lines than this are
-    # skipped (emit base layer only), keeping a 10^12-doc job alive.
-    max_lines_per_page: int = 50_000
+    # skipped (emit base layer only), keeping a 10^12-doc job alive. The
+    # reading-order kernel is O(n²)-O(n³) per page (like the reference), so
+    # this also bounds worst-case task time; real pages top out well below
+    # this (a dense A0 scan is ~2-3k lines).
+    max_lines_per_page: int = 5_000
     # When the input carries word-level spans (the raw detection granularity
     # — Textract WORD blocks in the reference), group them into text lines
     # first via the E1 band/word-join rules (assemble.lines_from_words);

@@ -455,6 +455,51 @@ FROM documents
 """
 
 
+def q_c6_spatial_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 mask suppression as a relational spatial anti-join: candidate
+    rects that do NOT intersect any keep-out rect (the reference's
+    mask.intersects test, applyocr.py:109 / util.py:53-66, open-interval
+    overlap semantics). Rects synthesized deterministically from ``part``."""
+    part = _t(spark, sf_dir, "part")
+    rect = lambda df: df.select(
+        "p_partkey",
+        ((F.col("p_partkey") % 50) * 20).cast("double").alias("x0"),
+        ((F.col("p_partkey") % 40) * 25).cast("double").alias("y0"),
+        ((F.col("p_partkey") % 50) * 20 + 120).cast("double").alias("x1"),
+        ((F.col("p_partkey") % 40) * 25 + 60).cast("double").alias("y1"),
+    )
+    cand = rect(part.filter(F.col("p_size") < 25))
+    keep_out = rect(part.filter(F.col("p_size") >= 25)).select(
+        F.col("x0").alias("kx0"), F.col("y0").alias("ky0"),
+        F.col("x1").alias("kx1"), F.col("y1").alias("ky1"),
+    ).distinct()
+    overlap = (
+        (F.col("x0") < F.col("kx1")) & (F.col("kx0") < F.col("x1"))
+        & (F.col("y0") < F.col("ky1")) & (F.col("ky0") < F.col("y1"))
+    )
+    return cand.join(F.broadcast(keep_out), overlap, "left_anti").select(
+        "p_partkey", "x0", "y0", "x1", "y1"
+    )
+
+
+SQL_C6 = """
+WITH r AS (
+  SELECT p_partkey, p_size,
+         CAST((p_partkey % 50) * 20 AS DOUBLE) AS x0,
+         CAST((p_partkey % 40) * 25 AS DOUBLE) AS y0,
+         CAST((p_partkey % 50) * 20 + 120 AS DOUBLE) AS x1,
+         CAST((p_partkey % 40) * 25 + 60 AS DOUBLE) AS y1
+  FROM part
+), cand AS (SELECT * FROM r WHERE p_size < 25),
+keep_out AS (SELECT DISTINCT x0 kx0, y0 ky0, x1 kx1, y1 ky1 FROM r WHERE p_size >= 25)
+SELECT p_partkey, x0, y0, x1, y1 FROM cand
+WHERE NOT EXISTS (
+  SELECT 1 FROM keep_out
+  WHERE cand.x0 < kx1 AND kx0 < cand.x1 AND cand.y0 < ky1 AND ky0 < cand.y1
+)
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: within a label partition, pairs with
     cosine ≥ 0.95 (the candidate-bounded exact variant; the LSH bucket is
@@ -767,6 +812,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBED),
+    "c6_spatial_antijoin": (q_c6_spatial_antijoin, SQL_C6),
     "word_positions": (q_word_positions, SQL_WORD_POS),
     "set_except": (q_set_except, SQL_SET_EXCEPT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
