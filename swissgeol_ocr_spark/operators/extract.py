@@ -43,6 +43,7 @@ import numpy as np
 
 from swissgeol_ocr_spark.operators.classify import (
     KIND_MEDIA,
+    KIND_NAMES,
     KIND_OCR,
     KIND_TEXT,
     encode_kinds,
@@ -82,6 +83,17 @@ def extract_document(
     confidences = np.asarray(confidences, dtype=np.float64)
     orientations = np.asarray(orientations, dtype=np.float64)
     kind_codes = encode_kinds(kinds)
+
+    # Fast path: a document with no media spans is born-digital on every
+    # page (util.py:35 — no image ⇒ digitally born), so the non-aggressive
+    # branch is a pure ordered passthrough (__init__.py:128-131). Identical
+    # output to the per-page path, without the per-page machinery.
+    if not config.use_aggressive_strategy and not bool(np.any(kind_codes == KIND_MEDIA)):
+        order = np.lexsort((offsets, page_nos))
+        return [
+            (KIND_NAMES[int(kind_codes[i])], texts[i], media_refs[i], rank)
+            for rank, i in enumerate(order.tolist())
+        ]
 
     out: list[OutSpan] = []
     for page in np.unique(page_nos):

@@ -776,6 +776,20 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages")
 
 
+def q_extract_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline under the aggressive strategy (C3 visibility
+    sweep on every page + C6 mask suppression); rows-only check."""
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_pipeline(
+        documents_to_spans(docs), ExtractConfig(use_aggressive_strategy=True)
+    )
+    return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages", "status")
+
+
 def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded output span sequences (span-sequence equality surface):
     one row per output span, rows-only check."""
@@ -823,4 +837,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "extract_flagship": (q_extract_flagship, None),
     "extract_sequence": (q_extract_sequence, None),
+    "extract_aggressive": (q_extract_aggressive, None),
 }
