@@ -455,6 +455,59 @@ FROM documents
 """
 
 
+def q_p7_downscale_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 size-budget loop (reference applyocr.py:34-49) as pure column
+    math over synthesized media metadata: number of ×2 downscales needed to
+    fit the 10MB budget (≤10 iterations), and the skip flag for items that
+    still don't fit — the relational face of functions/multimodal.
+    downscale_oversized."""
+    from swissgeol_ocr_spark.functions.multimodal import downscale_oversized
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("jpg").alias("format"),
+            F.lit(1000).alias("width"),
+            F.lit(800).alias("height"),
+            ((F.col("n_chars") + 1) * ((F.col("doc_id") % 997) * 131072 + 1)).alias("n_bytes"),
+            F.lit(0).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = downscale_oversized(media)
+    return out.select(
+        "media_ref",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "downscale_iters",
+        "skip_oversized",
+        "eff_width",
+        "eff_height",
+    )
+
+
+SQL_P7 = """
+WITH m AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
+         CAST((n_chars + 1) * ((doc_id % 997) * 131072 + 1) AS BIGINT) AS n_bytes
+  FROM documents
+), k AS (
+  SELECT media_ref, n_bytes,
+         CAST(greatest(0, least(10,
+             CAST(ceil(log(4.0, n_bytes / 10485760.0)) AS INT))) AS INT)
+           AS downscale_iters
+  FROM m
+)
+SELECT media_ref, n_bytes, downscale_iters,
+       NOT (n_bytes / pow(4.0, downscale_iters) < 10485760.0) AS skip_oversized,
+       CAST(floor(1000 / pow(2.0, downscale_iters)) AS INT) AS eff_width,
+       CAST(floor(800 / pow(2.0, downscale_iters)) AS INT) AS eff_height
+FROM k
+"""
+
+
 def q_c6_spatial_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 mask suppression as a relational spatial anti-join: candidate
     rects that do NOT intersect any keep-out rect (the reference's
@@ -827,6 +880,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBED),
     "c6_spatial_antijoin": (q_c6_spatial_antijoin, SQL_C6),
+    "p7_downscale_budget": (q_p7_downscale_budget, SQL_P7),
     "word_positions": (q_word_positions, SQL_WORD_POS),
     "set_except": (q_set_except, SQL_SET_EXCEPT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
