@@ -311,8 +311,9 @@ def metrics_table(out_df: DataFrame, run_id: str) -> DataFrame:
 def write_output(
     out_df: DataFrame, path: str, run_id: str, metrics_path: str | None = None
 ) -> None:
-    """Commit extraction output + metrics (parquet stand-in for Iceberg
-    appends; the resume anti-join reads the committed doc_ids back).
+    """Commit extraction output + metrics + snapshot manifest (parquet
+    stand-in for Iceberg appends; the resume anti-join reads the committed
+    doc_ids back, and the manifest row is the run's snapshot record).
 
     The output is stamped with the run_id so the metrics pass re-reads only
     this run's committed rows (a cheap column scan — no kernel recompute)."""
@@ -325,3 +326,18 @@ def write_output(
             committed.select("doc_id", "n_pages", "n_spans_in", "n_spans_out", "status"),
             run_id,
         ).write.mode("append").parquet(metrics_path)
+        # snapshot manifest: one row per committed run (Iceberg-snapshot
+        # stand-in) — what a restart consults before the doc-level anti-join
+        committed.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_quarantined"),
+            F.sum("n_spans_out").alias("n_spans_out"),
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            "n_docs",
+            "n_ok",
+            "n_quarantined",
+            "n_spans_out",
+            F.current_timestamp().alias("committed_at"),
+        ).write.mode("append").parquet(metrics_path.rstrip("/") + "_manifest")

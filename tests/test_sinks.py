@@ -93,3 +93,45 @@ def test_quarantine_poison_row(monkeypatch):
     assert rows["good2"]["status"] == "ok"
     assert rows["bad"]["status"] == "error:ValueError"
     assert rows["bad"]["spans_out"] == [] and rows["bad"]["n_spans_out"] == 0
+
+
+def test_run_manifest_snapshot(spark, sf_dir, tmp_path):
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans as d2s
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    out_path, metrics_path = str(tmp_path / "o"), str(tmp_path / "m")
+    write_output(extract_pipeline(d2s(docs)), out_path, "r1", metrics_path)
+    manifest = spark.read.parquet(metrics_path + "_manifest").collect()
+    assert len(manifest) == 1
+    row = manifest[0]
+    assert row.run_id == "r1" and row.n_docs == 12 and row.n_quarantined == 0
+    assert row.n_ok == 12 and row.n_spans_out > 0
+
+
+def test_submit_script_end_to_end(spark, sf_dir, tmp_path, monkeypatch):
+    """scripts/submit_extract.py main() drives the full job incl. resume."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import submit_extract
+
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans as d2s
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    in_path = str(tmp_path / "in")
+    d2s(docs).write.parquet(in_path)
+    out_path, metrics_path = str(tmp_path / "out"), str(tmp_path / "met")
+
+    argv = ["prog", "--input", in_path, "--output", out_path,
+            "--metrics", metrics_path, "--run-id", "rA"]
+    monkeypatch.setattr(sys, "argv", argv)
+    # keep the shared test session alive: getOrCreate returns it; stop is a no-op here
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    submit_extract.main()
+    assert spark.read.parquet(out_path).count() == 10
+
+    # resume run: everything done → nothing appended
+    argv2 = argv[:-1] + ["rB"] + ["--done", out_path]
+    monkeypatch.setattr(sys, "argv", argv2)
+    submit_extract.main()
+    assert spark.read.parquet(out_path).count() == 10
