@@ -214,6 +214,13 @@ def _current_column(
     ``all_lines``), and preceding lines leave it as the column consumes them.
 
     Returns (x0, y0, x1, y1, bottom_of_first_line, top_of_last_line).
+
+    The walk over reversed(preceding) is evaluated as ONE (K×n) matrix pass:
+    prefix column rects are cumulative min/max, the shrinking ``other`` set
+    is a step-index comparison, and the accept/break scan happens on the
+    precomputed per-step interruption flags and accurate-extender counts —
+    identical comparisons to the reference's sequential walk, K× fewer
+    ufunc dispatches.
     """
     cx0, cy0, cx1, cy1 = p.x0[current], p.y0[current], p.x1[current], p.y1[current]
     bofl, toll = p.y1[current], p.y0[current]
@@ -228,29 +235,66 @@ def _current_column(
 
     _, acc, _ = _column_masks(p, cx0, cy0, cx1, cy1, bofl, toll, False)
     acc &= other
-    accurate_count = int(np.count_nonzero(acc))
+    acc_init = int(np.count_nonzero(acc))
 
-    for li in reversed(preceding):
-        # add_line_before (readingorder.py:96-101): union + new first-line bottom
-        nx0 = min(cx0, p.x0[li])
-        ny0 = min(cy0, p.y0[li])
-        nx1 = max(cx1, p.x1[li])
-        ny1 = max(cy1, p.y1[li])
-        nbofl = p.y1[li]
-        other[li] = False
+    walk = np.array(list(reversed(preceding)), dtype=np.int64)
+    K = walk.shape[0]
+    # prefix column rects after adding walk[0..k] (add_line_before,
+    # readingorder.py:96-101): running union + the added line's bottom
+    colx0 = np.minimum.accumulate(np.minimum(cx0, p.x0[walk]))
+    coly0 = np.minimum.accumulate(np.minimum(cy0, p.y0[walk]))
+    colx1 = np.maximum.accumulate(np.maximum(cx1, p.x1[walk]))
+    coly1 = np.maximum.accumulate(np.maximum(cy1, p.y1[walk]))
+    bofls = p.y1[walk]
 
-        _, acc, intr = _column_masks(p, nx0, ny0, nx1, ny1, nbofl, toll, True)
-        intr &= other
-        if bool(np.any(intr)):
-            break
-        acc &= other
-        new_count = int(np.count_nonzero(acc))
-        if new_count < accurate_count:
-            break
-        accurate_count = new_count
-        cx0, cy0, cx1, cy1, bofl = nx0, ny0, nx1, ny1, nbofl
+    # other_k excludes current and walk[0..k]: walk[m] leaves at step m
+    leave_step = np.full(p.n, K, dtype=np.int64)
+    leave_step[walk] = np.arange(K)
+    leave_step[current] = -1
+    other_kn = leave_step[None, :] > np.arange(K)[:, None]  # (K, n)
 
-    return cx0, cy0, cx1, cy1, bofl, toll
+    c0, c1 = colx0[:, None], colx1[:, None]
+    r0, r1 = coly0[:, None], coly1[:, None]
+    bf = bofls[:, None]
+    x0n, y0n, x1n, y1n = p.x0[None, :], p.y0[None, :], p.x1[None, :], p.y1[None, :]
+    ymn, wn, hn = p.ym[None, :], p.w[None, :], p.h[None, :]
+
+    # x_overlap per (step, line)
+    ov = np.minimum(c1, x1n) - np.maximum(c0, x0n)
+    np.maximum(ov, 0.0, out=ov)
+    col_w = c1 - c0
+    col_h = r1 - r0
+    # can_be_extended_by (readingorder.py:107-117)
+    can = (
+        (ymn > toll)
+        & ((y0n - r1) < (col_h + hn))
+        & ((ov > 0.8 * wn) | (ov > 0.9 * col_w))
+    )
+    # is_accurately_extended_by (readingorder.py:119-124)
+    acc_kn = can & (ov > 0.6 * np.maximum(col_w, wn)) & (r1 < y1n)
+    acc_kn &= other_kn
+    acc_counts = acc_kn.sum(axis=1)
+    # is_interrupted_by (readingorder.py:103-105)
+    intr_kn = (
+        (x0n < c1) & (c0 < x1n) & (y0n < r1) & (r0 < y1n)
+        & (bf < ymn) & (ymn < toll)
+    )
+    intr_kn &= other_kn
+    intr_any = intr_kn.any(axis=1)
+
+    prev_counts = np.empty(K, dtype=acc_counts.dtype)
+    prev_counts[0] = acc_init
+    prev_counts[1:] = acc_counts[:-1]
+    violation = intr_any | (acc_counts < prev_counts)
+    b = int(np.argmax(violation)) if bool(violation.any()) else K
+
+    if b == 0:
+        return cx0, cy0, cx1, cy1, bofl, toll
+    k = b - 1
+    return (
+        float(colx0[k]), float(coly0[k]), float(colx1[k]), float(coly1[k]),
+        float(bofls[k]), toll,
+    )
 
 
 def _starting_line(p: _Page, remaining: np.ndarray) -> int:

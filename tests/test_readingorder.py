@@ -244,3 +244,52 @@ def test_termination_and_completeness_random():
         blocks = sort_lines_indices(rects)
         emitted = sorted(i for b in blocks for i in b)
         assert emitted == list(range(n)), f"trial {trial}"
+
+
+def test_batched_column_walk_matches_sequential():
+    """The (K×n) matrix column walk must match a plain sequential
+    evaluation of the reference's current_column on random pages."""
+    from swissgeol_ocr_spark.operators.readingorder import (
+        _Page,
+        _column_masks,
+        _current_column,
+    )
+
+    def sequential(p, current, preceding):
+        cx0, cy0, cx1, cy1 = p.x0[current], p.y0[current], p.x1[current], p.y1[current]
+        bofl, toll = p.y1[current], p.y0[current]
+        other = np.ones(p.n, dtype=bool)
+        other[current] = False
+        _, acc, _ = _column_masks(p, cx0, cy0, cx1, cy1, bofl, toll, False)
+        count = int(np.count_nonzero(acc & other))
+        for li in reversed(preceding):
+            nx0, ny0 = min(cx0, p.x0[li]), min(cy0, p.y0[li])
+            nx1, ny1 = max(cx1, p.x1[li]), max(cy1, p.y1[li])
+            nbofl = p.y1[li]
+            other[li] = False
+            _, acc, intr = _column_masks(p, nx0, ny0, nx1, ny1, nbofl, toll, True)
+            if bool(np.any(intr & other)):
+                break
+            new_count = int(np.count_nonzero(acc & other))
+            if new_count < count:
+                break
+            count = new_count
+            cx0, cy0, cx1, cy1, bofl = nx0, ny0, nx1, ny1, nbofl
+        return (cx0, cy0, cx1, cy1, bofl, toll)
+
+    rng = np.random.default_rng(123)
+    for trial in range(50):
+        n = int(rng.integers(3, 25))
+        x0 = rng.uniform(0, 400, n)
+        y0 = rng.uniform(0, 600, n)
+        rects = np.stack([x0, y0, x0 + rng.uniform(5, 200, n), y0 + rng.uniform(5, 15, n)], axis=1)
+        p = _Page(rects)
+        order = rng.permutation(n)
+        block_len = int(rng.integers(1, n))
+        current = int(order[block_len - 1])
+        preceding = [int(i) for i in order[: block_len - 1]]
+        got = _current_column(p, current, preceding)
+        # sequential consumes its own scratch; rebuild the page to avoid
+        # shared-buffer interference
+        want = sequential(_Page(rects), current, preceding)
+        assert tuple(float(v) for v in got) == tuple(float(v) for v in want), trial
