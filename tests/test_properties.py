@@ -33,12 +33,17 @@ def test_sort_lines_total_and_unique(rects):
 @settings(max_examples=30, deadline=None)
 @given(st.lists(rect_strategy, min_size=2, max_size=15), st.randoms())
 def test_sort_lines_permutation_invariant_modulo_ties(rects, rnd):
-    """Input order must not change the linearization when sort keys are
-    distinct (the reference consumes a set; our tie-break is input index,
-    so restrict to tie-free inputs)."""
-    keys = [round(r[0] + 2 * r[1], 9) for r in rects]
-    if len(set(keys)) != len(keys):
-        return  # exact ties → reference itself is nondeterministic
+    """Input order must not change the linearization when every selector
+    coordinate is tie-free (the reference consumes a set and resolves exact
+    ties by set iteration order — nondeterministic even for itself — so
+    restrict to inputs where min-by-sort-key, min-by-y0 and min-by-x0 are
+    all unambiguous; our deterministic tie-break is input index)."""
+    n = len(rects)
+    keys = {round(r[0] + 2 * r[1], 9) for r in rects}
+    x0s = {round(r[0], 9) for r in rects}
+    y0s = {round(r[1], 9) for r in rects}
+    if len(keys) != n or len(x0s) != n or len(y0s) != n:
+        return  # exact selector ties → reference itself is nondeterministic
     arr = np.array(rects, dtype=np.float64)
     base = [tuple(arr[i] for i in b) for b in sort_lines_indices(arr)]
     perm = list(range(len(rects)))
