@@ -25,8 +25,6 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-import numpy as np
-
 
 @dataclass
 class Rect:
@@ -114,33 +112,3 @@ def fast_intersection(r1: Rect, r2: Rect) -> bool:
 
 def distance(x0: float, y0: float, x1: float, y1: float) -> float:
     return math.hypot(x1 - x0, y1 - y0)
-
-
-# ---------------------------------------------------------------------------
-# Vectorized variants over an (n, 4) float64 rect matrix [x0, y0, x1, y1].
-# These power the reading-order kernel's O(n) inner scans.
-# ---------------------------------------------------------------------------
-
-
-def rects_array(rects: "list[Rect] | np.ndarray") -> np.ndarray:
-    """Normalize to an (n, 4) float64 array."""
-    if isinstance(rects, np.ndarray):
-        return np.asarray(rects, dtype=np.float64).reshape(-1, 4)
-    return np.array([r.as_tuple() for r in rects], dtype=np.float64).reshape(-1, 4)
-
-
-def x_overlap_vec(col: tuple[float, float, float, float], r: np.ndarray) -> np.ndarray:
-    """x_overlap(col_rect, r_i) for every row of ``r``; 0 where disjoint."""
-    cx0, _, cx1, _ = col
-    ov = np.minimum(cx1, r[:, 2]) - np.maximum(cx0, r[:, 0])
-    strict = (cx0 < r[:, 2]) & (r[:, 0] < cx1)
-    return np.where(strict, ov, 0.0)
-
-
-def fast_intersection_vec(
-    col: tuple[float, float, float, float], r: np.ndarray
-) -> np.ndarray:
-    cx0, cy0, cx1, cy1 = col
-    return (
-        (r[:, 0] < cx1) & (cx0 < r[:, 2]) & (r[:, 1] < cy1) & (cy0 < r[:, 3])
-    )
