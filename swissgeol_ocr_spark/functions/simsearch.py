@@ -92,6 +92,66 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization with a deterministic codebook: the centroids
+    are the first ``n_lists`` stored vectors by id (no iterative k-means —
+    reproducible in any engine); each vector joins the list of its
+    max-cosine centroid. At fleet scale the list id is the partition key:
+    a query probes one list instead of the corpus."""
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("_cent_rank"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "_cent_rank",
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 9).alias("_csim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_cent_rank"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_cent_rank").alias("ivf_list"))
+    )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to the query's IVF list."""
+    assigned = ivf_assign(embeddings, n_lists, vec_col, id_col)
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("ivf_list").alias("_qlist")
+    )
+    return (
+        assigned.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q), F.col("ivf_list") == F.col("_qlist"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_ann(
     embeddings: DataFrame,
     query_vec_id: int,

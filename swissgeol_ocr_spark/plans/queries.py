@@ -709,6 +709,49 @@ FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 # ---------------------------------------------------------------------------
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.ivf_ann(emb, query_vec_id=0, k=10, n_lists=8)
+
+
+SQL_IVF_ANN = """
+WITH cents AS (
+  SELECT vec_id AS cent_rank, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), pairs AS (
+  SELECT e.vec_id, e.embedding, c.cent_rank,
+         CAST(unnest(e.embedding) AS DOUBLE) AS v,
+         CAST(unnest(c.cvec) AS DOUBLE) AS cv
+  FROM embeddings e CROSS JOIN cents c
+), csims AS (
+  SELECT vec_id, cent_rank,
+         round(sum(v*cv) / (sqrt(sum(v*v)) * sqrt(sum(cv*cv))), 9) AS csim
+  FROM pairs GROUP BY vec_id, cent_rank
+), assigned AS (
+  SELECT vec_id, cent_rank AS ivf_list
+  FROM (SELECT vec_id, cent_rank,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_rank ASC) AS rn
+        FROM csims)
+  WHERE rn = 1
+), q AS (
+  SELECT e.embedding AS qvec, a.ivf_list AS qlist
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+  WHERE e.vec_id = 0
+), cand AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qv
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id, q
+  WHERE a.ivf_list = q.qlist AND e.vec_id <> 0
+), scored AS (
+  SELECT vec_id,
+         round(sum(v*qv) / (sqrt(sum(v*v)) * sqrt(sum(qv*qv))), 6) AS cos_sim
+  FROM cand GROUP BY vec_id
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -885,6 +928,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "set_except": (q_set_except, SQL_SET_EXCEPT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+    "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
     "langid": (q_langid, SQL_LANGID),
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
