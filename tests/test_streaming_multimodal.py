@@ -110,3 +110,39 @@ class TestStreaming:
         q2 = run_stream_to_parquet(spark, in_dir, out_dir, ckpt)
         q2.awaitTermination(60)
         assert spark.read.parquet(out_dir).count() == len(batch_out)
+
+
+def test_streaming_metrics_windowed(spark, sf_dir, tmp_path):
+    """The windowed metrics stream (the /collect polling surface) totals
+    must equal the batch counts."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.streaming.pipeline import (
+        extract_stream,
+        metrics_stream,
+        read_spans_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    spans = documents_to_spans(docs)
+    in_dir = str(tmp_path / "in")
+    spans.write.parquet(in_dir)
+
+    stream = read_spans_stream(spark, in_dir)
+    metrics = metrics_stream(extract_stream(stream), window="1 minute")
+    # complete mode: processing-time windows never pass the watermark before
+    # an availableNow query drains, so append would emit nothing
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("m_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT sum(n_docs) AS d, sum(n_spans_out) AS s FROM m_stream").first()
+    expected = extract_pipeline(spans, repartition=False).agg(
+        F.count("*").alias("d"), F.sum("n_spans_out").alias("s")
+    ).first()
+    assert rows.d == expected.d
+    assert rows.s == expected.s
