@@ -181,6 +181,13 @@ def _line_span(i: Column) -> Column:
     text = F.array_join(
         F.slice(F.col("words"), i * F.lit(WORDS_PER_LINE) + 1, F.lit(WORDS_PER_LINE)), " "
     )
+    # a deterministic subset of scanned lines carries a small detected angle
+    # (within the 25° snap window) so the derotation path (T5) runs on real
+    # pipeline data, like Textract's slight-skew detections
+    tilt = F.when(
+        scanned & (F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(13)), F.lit(11)) == 0),
+        (F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(17)), F.lit(9)).cast("double") - 4.0),
+    ).otherwise(F.lit(0.0))
     return F.struct(
         kind.alias("kind"),
         text.alias("text"),
@@ -192,7 +199,7 @@ def _line_span(i: Column) -> Column:
         (x0 + width).alias("x1"),
         (y0 + F.lit(LINE_HEIGHT)).alias("y1"),
         F.when(scanned, conf).otherwise(F.lit(1.0)).alias("confidence"),
-        F.lit(0.0).alias("orientation"),
+        tilt.alias("orientation"),
     )
 
 
