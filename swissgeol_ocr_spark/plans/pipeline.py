@@ -217,8 +217,14 @@ def extract_pipeline(
         sized = spans_df.withColumnRenamed("n_spans", "_n")
     else:
         sized = spans_df.withColumn("_n", F.size("spans"))
-    small = sized.filter(F.col("_n") <= config.mega_doc_span_cutoff).drop("_n")
-    big = sized.filter(F.col("_n") > config.mega_doc_span_cutoff).drop("_n")
+
+    # Eager mega-doc existence check: when nothing exceeds the cutoff (the
+    # common case — mega scans are rare by definition), the entire salting
+    # subtree (second corpus scan + explode + two shuffles + union) is
+    # dropped from the plan, leaving the shuffle-free kernel path. Costs one
+    # early-exiting scan of the count column; on an Iceberg table the same
+    # answer comes free from column max() stats.
+    has_mega = not sized.filter(F.col("_n") > config.mega_doc_span_cutoff).isEmpty()
 
     def run_kernel(df: DataFrame, force_shuffle: bool = False) -> DataFrame:
         # The explicit hash(doc_id) repartition (north rule) evens out the
@@ -229,6 +235,12 @@ def extract_pipeline(
         if repartition or force_shuffle:
             df = df.repartition(n_part, "doc_id")
         return df.mapInArrow(lambda it: _extract_batches(it, config), OUT_SCHEMA)
+
+    if not has_mega:
+        return run_kernel(spans_df.drop("n_spans"))
+
+    small = sized.filter(F.col("_n") <= config.mega_doc_span_cutoff).drop("_n")
+    big = sized.filter(F.col("_n") > config.mega_doc_span_cutoff).drop("_n")
 
     small_out = run_kernel(small)
 

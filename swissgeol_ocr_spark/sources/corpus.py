@@ -154,7 +154,20 @@ def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
         ),
     )
 
-    return d.select("doc_id", spans.alias("spans"))
+    # materialized count: a pushdown-able predicate column so the pipeline's
+    # mega-doc split never re-reads the heavy spans column; computed from the
+    # layout arithmetic (not size(spans)) to avoid re-evaluating the
+    # synthesis expression tree
+    extra = (
+        F.when(F.col("layout").isin(1, 2), F.col("n_pages"))
+        .when(F.col("layout") == 3, F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        spans.alias("spans"),
+        (F.col("n_lines") + extra).cast("int").alias("n_spans"),
+    )
 
 
 def _line_span(i: Column) -> Column:
