@@ -105,7 +105,7 @@ def extraction_docs_per_sec(
     # best-of-K timed runs in the same warmed JVM: single runs swing ±15%
     # on shared cloud hosts; peak sustained throughput is the capability
     # measure the scaling protocol compares
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     elapsed = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
