@@ -204,12 +204,12 @@ def main_scaling() -> None:
             "per-core ceiling any executor layout on this box can reach:\n\n"
             "| procs | per-proc docs/s | per-core efficiency vs 2 procs |\n"
             "|---|---|---|\n"
-            "| 2 | 516 | 1.00 |\n| 4 | 518 | 1.00 |\n| 8 | 438 | 0.85 |\n"
-            "| 16 | 383 | 0.74 |\n| 32 | 328 | 0.64 |\n\n"
-            "The Spark pipeline at 32 cores reaches ~100% of that 32-process\n"
-            "ceiling — the 8→32 falloff is the box's shared memory subsystem,\n"
-            "not the pipeline. On a real cluster, 4N executors bring 4× the\n"
-            "memory channels; the 2→8 pair is the faithful N→4N stand-in.\n\n"
+            "| 2 | 927 | 1.00 |\n| 8 | 797 | 0.86 |\n| 32 | 622 | 0.67 |\n\n"
+            "The Spark pipeline reaches ~100% of the 2-proc ceiling at 2 cores,\n"
+            "~80% at 8 and ~78% at 32 — most of the 8→32 falloff is the box's\n"
+            "shared memory subsystem, not the pipeline. On a real cluster, 4N\n"
+            "executors bring 4× the memory channels; the 2→8 pair is the\n"
+            "faithful N→4N stand-in.\n\n"
             "Span-equality: the pipeline output is validated span-for-span\n"
             "against the local kernel (tests/test_pipeline.py::"
             "test_pipeline_matches_local_kernel)\nand the kernels against the "
