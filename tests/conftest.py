@@ -1,4 +1,5 @@
 import os
+import tempfile
 
 import pytest
 
@@ -9,12 +10,14 @@ def spark():
 
     from swissgeol_ocr_spark.plans.pipeline import configure_spark
 
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
     builder = (
         SparkSession.builder.master("local[4]")
         .appName("swissgeol-ocr-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", warehouse)
     )
     session = configure_spark(builder).getOrCreate()
     yield session

@@ -1,0 +1,56 @@
+"""Bucketed-table co-location: the resume anti-join over two co-bucketed
+tables must plan with ZERO Exchange operators (no shuffle at any scale)."""
+
+import io
+import contextlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from swissgeol_ocr_spark.sources.bucketed import (
+    read_bucketed,
+    resume_join_bucketed,
+    write_bucketed,
+)
+from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    spans = documents_to_spans(docs)
+    write_bucketed(spans, "spans_in", n_buckets=8)
+    done = spans.limit(40).select("doc_id", F.lit(1).alias("n_spans_out"))
+    write_bucketed(done, "spans_done", n_buckets=8)
+    yield "spans_in", "spans_done"
+    spark.sql("DROP TABLE IF EXISTS spans_in")
+    spark.sql("DROP TABLE IF EXISTS spans_done")
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_resume_antijoin_shuffle_free(spark, bucketed_tables):
+    inp, done = bucketed_tables
+    # force the join path (not broadcast) to prove bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        remaining = resume_join_bucketed(spark, inp, done)
+        plan = _plan_of(remaining)
+        assert "Exchange" not in plan, plan
+        assert remaining.count() == 60
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_scan_roundtrip(spark, bucketed_tables):
+    inp, _ = bucketed_tables
+    df = read_bucketed(spark, inp)
+    assert df.count() == 100
+    row = df.orderBy("doc_id").first()
+    assert isinstance(row.spans, list) and len(row.spans) == row.n_spans
