@@ -185,6 +185,55 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * length_term + 0.2 * stop_term + 0.4 * punct_pen, 6)
 
 
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    dedup-clustering step over near-dup candidate pairs.
+
+    vertices(id), edges(src, dst) → (id, component) where component is the
+    smallest member id. Each round joins labels across edges and keeps the
+    min; converges in O(component diameter) rounds (near-dup clusters are
+    shallow). Every round is one shuffle on the edge key; the label frame
+    is cached per round and the loop stops at fixpoint (a driver-side
+    count — the canonical iterative-algorithm shape in Spark).
+    """
+    from pyspark.sql import functions as Fn
+
+    both = edges.select("src", "dst").union(
+        edges.select(Fn.col("dst").alias("src"), Fn.col("src").alias("dst"))
+    )
+    labels = vertices.select(Fn.col("id"), Fn.col("id").alias("component")).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.id)
+            .groupBy("src")
+            .agg(Fn.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                Fn.least(
+                    Fn.col("component"),
+                    Fn.coalesce(Fn.col("nbr_component"), Fn.col("component")),
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(Fn.col("n.component") != Fn.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def token_counts(text: Column) -> dict[str, Column]:
     return {
         "ws_tokens": F.size(words(text)).cast("long"),

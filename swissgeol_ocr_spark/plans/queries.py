@@ -860,6 +860,20 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (iterative min-label
+    propagation) over the MinHash-LSH candidate pairs. Genuinely iterative
+    (driver-side fixpoint loop) → rows-only check per the contract."""
+    from swissgeol_ocr_spark.functions.textops import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    return connected_components(docs, edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full extraction pipeline on the synthesized spans corpus.
     Non-SQL-expressible (the layout kernels ARE the operator) → the driver
@@ -936,4 +950,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "extract_flagship": (q_extract_flagship, None),
     "extract_sequence": (q_extract_sequence, None),
     "extract_aggressive": (q_extract_aggressive, None),
+    "dedup_clusters": (q_dedup_clusters, None),
 }

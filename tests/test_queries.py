@@ -74,3 +74,23 @@ def test_rows_only_queries_run(spark, name):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_dedup_clusters_invariants(spark):
+    """Connected-component clustering: cluster ids are member minima, and
+    every candidate pair lands in the same cluster."""
+    from swissgeol_ocr_spark.plans.queries import q_dedup_clusters, q_dedup_minhash_lsh
+
+    clusters = {r.doc_id: r.cluster_id for r in q_dedup_clusters(spark, SF_DIR).collect()}
+    pairs = q_dedup_minhash_lsh(spark, SF_DIR).collect()
+    assert pairs, "fixture should contain near-dup candidates"
+    for p in pairs:
+        assert clusters[p.a_id] == clusters[p.b_id]
+    # cluster id is the min member id
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, c in clusters.items():
+        members[c].append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
