@@ -10,9 +10,10 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 each query to its seconds. The flagship extraction also reports docs/sec.
 
 Scaling-evidence mode (BASELINE.md protocol): ``python bench.py --scaling``
-runs the identical extraction job at two parallelism levels (local[8] and
-local[32]) in separate JVMs and writes BENCH/BASELINE.md with docs/sec at
-both plus per-core scaling efficiency = (docs/s @ 4N) / (4 × docs/s @ N).
+runs the identical extraction job at three pinned parallelism levels
+(local[2]/local[8]/local[32]) in separate JVMs and writes BENCH/BASELINE.md
+with docs/sec at each plus per-core scaling efficiency
+= (docs/s @ 4N) / (4 × docs/s @ N) for the 2→8 and 8→32 pairs.
 """
 
 from __future__ import annotations

@@ -231,13 +231,13 @@ def extract_pipeline(
     # answer comes free from column max() stats.
     has_mega = not sized.filter(F.col("_n") > config.mega_doc_span_cutoff).isEmpty()
 
-    def run_kernel(df: DataFrame, force_shuffle: bool = False) -> DataFrame:
+    def run_kernel(df: DataFrame, do_shuffle: bool | None = None) -> DataFrame:
         # The explicit hash(doc_id) repartition (north rule) evens out the
         # kernel load for arbitrary input. When the table is already
         # bucketed/partitioned by doc_id upstream (the steady state for a
         # 100 TB Iceberg table), ``repartition=False`` skips the redundant
         # full-corpus shuffle — the single biggest cost after the kernel.
-        if repartition or force_shuffle:
+        if repartition if do_shuffle is None else do_shuffle:
             df = df.repartition(n_part, "doc_id")
         return df.mapInArrow(lambda it: _extract_batches(it, config), OUT_SCHEMA)
 
@@ -262,7 +262,9 @@ def extract_pipeline(
             F.transform("ordered", lambda x: x["s"]).alias("spans"),
         )
     )
-    page_out = run_kernel(page_docs)
+    # page groups leave the groupBy already hash-distributed on
+    # (doc_id, page_no) — re-shuffling them by doc_id would undo the split
+    page_out = run_kernel(page_docs, do_shuffle=False)
     # reassemble: parse back orig doc_id/page, order by page, re-rank offsets
     reassembled = (
         page_out.withColumn("orig_doc_id", F.substring_index("doc_id", "#", 1))
