@@ -77,9 +77,18 @@ def downscale_oversized(media: DataFrame) -> DataFrame:
     flagged for skipping (the reference skips the page). Pure column math
     over the metadata — each halving quarters the byte estimate."""
     n_bytes = F.col("meta.n_bytes")
-    # number of halvings needed: smallest k ≤ 10 with n/4^k < 10MB
+    # number of halvings needed: smallest k ≤ 10 with n/4^k STRICTLY below
+    # the budget (the reference's `if size < ten_mb: break`, applyocr.py:38).
+    # ceil(log4(n/10MB)) undercounts by one at exact powers of 4 (log4(1)=0
+    # but 10MB needs one halving) and is float-fragile at boundaries, so the
+    # estimate is corrected by one exact-arithmetic check.
     k = F.ceil(F.log(4.0, n_bytes / F.lit(float(TEN_MB))))
     k = F.greatest(F.lit(0), F.least(F.lit(MAX_DOWNSCALE_ITERS), k.cast("int")))
+    k = F.when(
+        (k < MAX_DOWNSCALE_ITERS)
+        & ((n_bytes / F.pow(F.lit(4.0), k.cast("double"))) >= F.lit(float(TEN_MB))),
+        k + 1,
+    ).otherwise(k)
     fits = (n_bytes / F.pow(F.lit(4.0), k.cast("double"))) < F.lit(float(TEN_MB))
     return media.select(
         "*",

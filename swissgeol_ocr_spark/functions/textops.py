@@ -79,13 +79,21 @@ def normalized_fingerprint(text: Column) -> Column:
     return F.md5(F.trim(norm))
 
 
-def minhash_signature(shingle_array: Column, k: int = 8) -> Column:
+def md5_digests(string_array: Column) -> Column:
+    """One md5 per array element. MATERIALIZE this as a real column before
+    feeding it to the signature builders — Catalyst does not eliminate
+    common subexpressions across higher-order-function lambdas, so an
+    inlined expression would recompute every md5 k times."""
+    return F.transform(string_array, lambda s: F.md5(s))
+
+
+def minhash_signature(digests: Column, k: int = 8) -> Column:
     """k-element MinHash signature from ONE md5 per shingle: the 32-hex
     digest is sliced into k 4-hex sub-hashes and each signature element is
     the lexicographic min of its slice over the shingles (the standard
-    split-one-strong-hash construction — 8× cheaper than k independent
-    hashes, and engine-portable). array<string> of length k."""
-    digests = F.transform(shingle_array, lambda s: F.md5(s))
+    split-one-strong-hash construction — k× cheaper than independent
+    hashes, and engine-portable). Input: a materialized ``md5_digests``
+    column (see its docstring). array<string> of length k."""
     return F.array(
         *[
             F.array_min(F.transform(digests, lambda d: F.substring(d, i * 4 + 1, 4)))
@@ -110,13 +118,12 @@ def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 2) -> Column:
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens, engine-portable.
+def simhash16(digests: Column) -> Column:
+    """16-bit SimHash over a materialized per-token ``md5_digests`` column,
+    engine-portable.
 
     Per token, md5's first 16 hex nibbles vote per bit position: nibble ≥ 8
     votes +1, else −1; the sign per position forms the fingerprint."""
-    toks = words(text)
-    digests = F.transform(toks, lambda t: F.md5(t))
     bit_cols = []
     for j in range(16):
         votes = F.aggregate(

@@ -21,18 +21,22 @@ from __future__ import annotations
 
 import numpy as np
 
-# integer kind codes used throughout the kernels
+# integer kind codes used throughout the kernels; unknown kind strings map
+# to KIND_OTHER, which no kernel matches — exactly how the reference
+# tolerates and ignores unknown bboxlog/block types
+# (tests/test_textract.py:146-152)
 KIND_TEXT = 0
 KIND_PATH = 1
 KIND_MEDIA = 2
 KIND_OCR = 3
+KIND_OTHER = 4
 
 KIND_CODES = {"text": KIND_TEXT, "path": KIND_PATH, "media": KIND_MEDIA, "ocr-text": KIND_OCR}
 KIND_NAMES = {v: k for k, v in KIND_CODES.items()}
 
 
 def encode_kinds(kinds: "list[str]") -> np.ndarray:
-    return np.array([KIND_CODES.get(k, KIND_PATH) for k in kinds], dtype=np.int8)
+    return np.array([KIND_CODES.get(k, KIND_OTHER) for k in kinds], dtype=np.int8)
 
 
 def is_digitally_born(kinds: np.ndarray, rects: np.ndarray) -> bool:

@@ -16,8 +16,9 @@ Pipeline per page (spans in draw/``offset`` order):
    reference this is the Textract network call, T3, replaced here by the
    from-scratch span-native detector)
 4. tiling + cross-tile dedup (T1/T6, textract.py:98-131)
-5. derotation snap (T5, textline.py:60-98) — affects emitted geometry,
-   not ordering (the reading order consumes ``rect``, readingorder.py:26)
+5. (derotation, T5, applies at detection-parse time — operators/parse.py —
+   and affects only geometry, never ordering: readingorder.py:26 consumes
+   ``rect``; it is therefore not part of this text-sequence hot path)
 6. reading order (R1-R6, readingorder.py:178-223)
 7. two-tier confidence filter + mask suppression (C5/C6,
    applyocr.py:94-112)
@@ -43,7 +44,6 @@ import numpy as np
 
 from swissgeol_ocr_spark.operators.classify import (
     KIND_MEDIA,
-    KIND_NAMES,
     KIND_OCR,
     KIND_TEXT,
     encode_kinds,
@@ -53,7 +53,6 @@ from swissgeol_ocr_spark.operators.classify import (
 from swissgeol_ocr_spark.operators.assemble import lines_from_words
 from swissgeol_ocr_spark.operators.clean import clean_old_ocr_aggressive
 from swissgeol_ocr_spark.operators.confidence import filter_blocks
-from swissgeol_ocr_spark.operators.derotate import derotate_rects_batch
 from swissgeol_ocr_spark.operators.mask import PageMask
 from swissgeol_ocr_spark.operators.readingorder import sort_lines_indices
 from swissgeol_ocr_spark.operators.tiling import clip_rects, combine_text_lines
@@ -91,7 +90,7 @@ def extract_document(
     if not config.use_aggressive_strategy and not bool(np.any(kind_codes == KIND_MEDIA)):
         order = np.lexsort((offsets, page_nos))
         return [
-            (KIND_NAMES[int(kind_codes[i])], texts[i], media_refs[i], rank)
+            (kinds[i], texts[i], media_refs[i], rank)
             for rank, i in enumerate(order.tolist())
         ]
 
@@ -101,8 +100,8 @@ def extract_document(
         page_idx = page_idx[np.argsort(offsets[page_idx], kind="stable")]
         out.extend(
             _extract_page(
-                page_idx, kind_codes, texts, media_refs, rects, confidences,
-                orientations, config,
+                page_idx, kinds, kind_codes, texts, media_refs, rects,
+                confidences, orientations, config,
             )
         )
     return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
@@ -110,6 +109,7 @@ def extract_document(
 
 def _extract_page(
     idx: np.ndarray,
+    kinds: list[str],
     kind_codes: np.ndarray,
     texts: list[str],
     media_refs: list[str],
@@ -129,8 +129,9 @@ def _extract_page(
         removed_local, mask = clean_old_ocr_aggressive(pk, pr, page_w, page_h)
     else:
         if born_digital:
-            # __init__.py:128-131 — untouched passthrough
-            return [_passthrough(i, kind_codes, texts, media_refs) for i in idx]
+            # __init__.py:128-131 — untouched passthrough (original kind
+            # strings preserved, including unknown kinds)
+            return [(kinds[i], texts[i], media_refs[i], -1) for i in idx]
         removed_local = find_old_ocr_spans(pk, pr)
         mask = PageMask(page_w, page_h)  # zeros — applyocr.py:24-25
 
@@ -144,7 +145,7 @@ def _extract_page(
         if kind_codes[idx[j]] in (KIND_TEXT, KIND_OCR) and texts[idx[j]] != ""
     ]
 
-    emitted: list[OutSpan] = [_passthrough(i, kind_codes, texts, media_refs) for i in base]
+    emitted: list[OutSpan] = [(kinds[i], texts[i], media_refs[i], -1) for i in base]
 
     if not cand:
         return emitted
@@ -199,8 +200,10 @@ def _extract_page(
     lines = np.array(kept_local, dtype=np.int64)
     line_rects = cand_rects[lines]
 
-    # T5: derotation snap — emitted geometry only; ordering uses rect
-    derotate_rects_batch(line_rects, cand_orients[lines], page_h)
+    # T5 note: derotation (operators/derotate.py) happens at detection/parse
+    # time (operators/parse.py) and only affects emitted geometry — the
+    # reading order consumes ``rect`` (readingorder.py:26) and our output is
+    # the text sequence, so no derotation work belongs in this hot path.
 
     # R6: reading order
     blocks_local = sort_lines_indices(line_rects)
@@ -215,9 +218,3 @@ def _extract_page(
     return emitted
 
 
-def _passthrough(
-    i: int, kind_codes: np.ndarray, texts: list[str], media_refs: list[str]
-) -> OutSpan:
-    from swissgeol_ocr_spark.operators.classify import KIND_NAMES
-
-    return (KIND_NAMES[int(kind_codes[i])], texts[i], media_refs[i], -1)

@@ -239,7 +239,15 @@ def extract_pipeline(
         # full-corpus shuffle — the single biggest cost after the kernel.
         if repartition if do_shuffle is None else do_shuffle:
             df = df.repartition(n_part, "doc_id")
-        return df.mapInArrow(lambda it: _extract_batches(it, config), OUT_SCHEMA)
+        return df.mapInArrow(
+            lambda it: _extract_batches(it, config), OUT_SCHEMA
+        ).withColumn(
+            # captured HERE (a narrow projection on the kernel's own
+            # partition), not after a write/read round-trip — this is the
+            # executing partition the lineage/skew analysis needs
+            "partition_id",
+            F.spark_partition_id(),
+        )
 
     if not has_mega:
         return run_kernel(spans_df.drop("n_spans"))
@@ -250,13 +258,26 @@ def extract_pipeline(
     small_out = run_kernel(small)
 
     # --- mega-doc salting: split page-wise, extract, reassemble -----------
+    # posexplode keeps each span's original array position: the per-page
+    # re-sort orders by (offset, position), exactly the unsplit kernel's
+    # stable argsort on offset — bit-identical even with duplicate offsets
     exploded = big.select(
-        "doc_id", F.explode("spans").alias("span")
-    ).select("doc_id", F.col("span.page_no").alias("page_no"), "span")
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select("doc_id", F.col("span.page_no").alias("page_no"), "pos", "span")
     page_docs = (
         exploded.repartition(n_part, "doc_id", "page_no")
         .groupBy("doc_id", "page_no")
-        .agg(F.sort_array(F.collect_list(F.struct(F.col("span.offset").alias("o"), F.col("span").alias("s")))).alias("ordered"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("span.offset").alias("o"),
+                        F.col("pos").alias("p"),
+                        F.col("span").alias("s"),
+                    )
+                )
+            ).alias("ordered")
+        )
         .select(
             F.concat(F.col("doc_id"), F.lit("#"), F.col("page_no").cast("string")).alias("doc_id"),
             F.transform("ordered", lambda x: x["s"]).alias("spans"),
@@ -265,13 +286,16 @@ def extract_pipeline(
     # page groups leave the groupBy already hash-distributed on
     # (doc_id, page_no) — re-shuffling them by doc_id would undo the split
     page_out = run_kernel(page_docs, do_shuffle=False)
-    # reassemble: parse back orig doc_id/page, order by page, re-rank offsets
+    # reassemble: strip the LAST '#<page>' segment (we appended exactly one,
+    # so an original doc_id containing '#' is handled correctly), order by
+    # page, re-rank offsets
+    page_seg = F.substring_index("doc_id", "#", -1)
     reassembled = (
-        page_out.withColumn("orig_doc_id", F.substring_index("doc_id", "#", 1))
-        .withColumn(
-            "page_no",
-            F.substring_index("doc_id", "#", -1).cast("int"),
+        page_out.withColumn(
+            "orig_doc_id",
+            F.expr("substring(doc_id, 1, length(doc_id) - length(substring_index(doc_id, '#', -1)) - 1)"),
         )
+        .withColumn("page_no", page_seg.cast("int"))
         .groupBy("orig_doc_id")
         .agg(
             F.sort_array(
@@ -279,6 +303,7 @@ def extract_pipeline(
                     F.struct("page_no", "spans_out", "n_spans_in", "n_spans_out", "status")
                 )
             ).alias("pages"),
+            F.min("partition_id").alias("partition_id"),
         )
         .select(
             F.col("orig_doc_id").alias("doc_id"),
@@ -286,6 +311,7 @@ def extract_pipeline(
             F.aggregate("pages", F.lit(0), lambda a, p: a + p["n_spans_in"]).alias("n_spans_in"),
             F.size("pages").cast("int").alias("n_pages"),
             F.filter("pages", lambda p: p["status"] != "ok").alias("_errs"),
+            "partition_id",
         )
         .select(
             "doc_id",
@@ -304,8 +330,12 @@ def extract_pipeline(
             F.when(F.size("_errs") == 0, F.lit("ok"))
             .otherwise(F.element_at("_errs", 1)["status"])
             .alias("status"),
+            "partition_id",
         )
-        .select("doc_id", "spans_out", "n_spans_in", "n_spans_out", "n_pages", "status")
+        .select(
+            "doc_id", "spans_out", "n_spans_in", "n_spans_out", "n_pages",
+            "status", "partition_id",
+        )
     )
 
     return small_out.unionByName(reassembled)
@@ -314,14 +344,16 @@ def extract_pipeline(
 def metrics_table(out_df: DataFrame, run_id: str) -> DataFrame:
     """Per-partition lineage + metrics rows (reference ProcessResult +
     S5 metadata, ocr/__init__.py:25-27, aws/aws.py:78-88): one row per
-    document with its executing partition, aggregable per partition."""
+    document with the partition that EXECUTED its kernel (captured by the
+    pipeline right after mapInArrow — not re-derived downstream, where
+    spark_partition_id would reflect whatever scan re-read the data)."""
     return out_df.select(
         "doc_id",
         "n_pages",
         "n_spans_in",
         "n_spans_out",
         "status",
-        F.spark_partition_id().alias("partition_id"),
+        "partition_id",
         F.lit(run_id).alias("run_id"),
         F.current_timestamp().alias("ts"),
     )
@@ -342,7 +374,9 @@ def write_output(
         spark = out_df.sparkSession
         committed = spark.read.parquet(path).filter(F.col("run_id") == run_id)
         metrics_table(
-            committed.select("doc_id", "n_pages", "n_spans_in", "n_spans_out", "status"),
+            committed.select(
+                "doc_id", "n_pages", "n_spans_in", "n_spans_out", "status", "partition_id"
+            ),
             run_id,
         ).write.mode("append").parquet(metrics_path)
         # snapshot manifest: one row per committed run (Iceberg-snapshot

@@ -335,12 +335,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("inter"))
     )
+    raw = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pairs.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
         .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("a_id", "b_id", "jaccard")
+        # threshold on the RAW ratio (like the oracle SQL); round only the
+        # reported value — boundary pairs must not diverge between engines
+        .filter(raw >= 0.5)
+        .select("a_id", "b_id", F.round(raw, 6).alias("jaccard"))
     )
 
 
@@ -381,8 +383,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
         .select("doc_id", textops.shingles_of_words(F.col("w")).alias("sh"))
+        .select("doc_id", textops.md5_digests(F.col("sh")).alias("dg"))
     )
-    sig = docs.select("doc_id", textops.minhash_signature(F.col("sh")).alias("sig"))
+    sig = docs.select("doc_id", textops.minhash_signature(F.col("dg")).alias("sig"))
     banded = sig.select(
         "doc_id", F.explode(textops.lsh_band_keys(F.col("sig"))).alias("band_key")
     )
@@ -436,22 +439,30 @@ FROM banded a JOIN banded b
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (engine-portable nibble voting)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", textops.simhash16(F.col("text")).alias("simhash"))
+    """16-bit SimHash fingerprints (engine-portable nibble voting; one md5
+    per token, materialized)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textops.md5_digests(F.split("text", " ")).alias("dg"),
+    )
+    return docs.select("doc_id", textops.simhash16(F.col("dg")).alias("simhash"))
 
 
-SQL_SIMHASH = """
-SELECT doc_id, (
-  SELECT CAST(sum(CASE WHEN (
-      SELECT sum(CASE WHEN instr('0123456789abcdef',
-                                substr(md5(t.tok), b.bit + 1, 1)) >= 9
-                      THEN 1 ELSE -1 END)
-      FROM (SELECT unnest(string_split(text, ' ')) AS tok) t
-    ) > 0 THEN 1 << b.bit ELSE 0 END) AS INT)
-  FROM (SELECT unnest(range(0, 16)) AS bit) b
-) AS simhash
-FROM documents
+_SIMHASH_BIT_TERMS = " + ".join(
+    "(CASE WHEN list_sum(list_transform(dgs, d -> CASE WHEN "
+    f"instr('0123456789abcdef', substr(d, {j + 1}, 1)) >= 9 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+
+SQL_SIMHASH = f"""
+WITH dg AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> md5(t)) AS dgs
+  FROM documents
+)
+SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS INT) AS simhash
+FROM dg
 """
 
 
@@ -493,12 +504,17 @@ WITH m AS (
   SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
          CAST((n_chars + 1) * ((doc_id % 997) * 131072 + 1) AS BIGINT) AS n_bytes
   FROM documents
-), k AS (
+), k0 AS (
   SELECT media_ref, n_bytes,
          CAST(greatest(0, least(10,
-             CAST(ceil(log(4.0, n_bytes / 10485760.0)) AS INT))) AS INT)
-           AS downscale_iters
+             CAST(ceil(log(4.0, n_bytes / 10485760.0)) AS INT))) AS INT) AS ke
   FROM m
+), k AS (
+  -- boundary correction: smallest k with n/4^k STRICTLY below the budget
+  SELECT media_ref, n_bytes,
+         CASE WHEN ke < 10 AND n_bytes / pow(4.0, ke) >= 10485760.0
+              THEN ke + 1 ELSE ke END AS downscale_iters
+  FROM k0
 )
 SELECT media_ref, n_bytes, downscale_iters,
        NOT (n_bytes / pow(4.0, downscale_iters) < 10485760.0) AS skip_oversized,

@@ -14,8 +14,9 @@ pure function of (doc_id, text), hence deterministic.
 
 Layout classes (pmod(xxhash64(doc_id), 4)):
   0 — born-digital single column ('text' lines, no media)
-  1 — scanned two-column: full-page media + stale 'ocr-text' lines
-      (right column emitted before left: insertion order must not matter)
+  1 — scanned two-column: full-page media + stale 'ocr-text' lines, the
+      RIGHT column's lines defined before the left column's (the kernel
+      must emit left-before-right regardless of insertion order)
   2 — text-under-image (Tiefenbrunnen/Lostorf, reference util.py:10-15):
       visible 'text' lines then a covering media span
   3 — born-digital with a hidden 'ocr-text' overlay (aggressive-strategy
@@ -179,8 +180,12 @@ def _line_span(i: Column) -> Column:
     """
     page = (i / F.lit(LINES_PER_PAGE)).cast("int")
     local = i - page * F.lit(LINES_PER_PAGE)
-    col_no = (local * 2 / F.lit(LINES_PER_PAGE)).cast("int")  # 0 or 1
-    row = local - col_no * F.lit(LINES_PER_PAGE // 2)
+    half = (local * 2 / F.lit(LINES_PER_PAGE)).cast("int")  # 0 or 1
+    # scanned docs DEFINE the right column first (insertion order must not
+    # dictate reading order — the kernel has to swap them back, mirroring
+    # the reference's two_columns fixture, test_readingorder_pdfs.py:30-38)
+    col_no = F.when(F.col("layout") == 1, 1 - half).otherwise(half)
+    row = local - half * F.lit(LINES_PER_PAGE // 2)
     y0 = F.lit(40.0) + row.cast("double") * F.lit(LINE_HEIGHT + LINE_GAP)
     x0 = F.lit(40.0) + col_no.cast("double") * F.lit(290.0)
     # deterministic per-line width jitter and confidence from hashes

@@ -99,3 +99,47 @@ def test_resume_anti_join(spark, spans_df):
     assert remaining.count() == spans_df.count() - 30
     # re-running with everything done → empty
     assert resume_filter(spans_df, spans_df.select("doc_id")).count() == 0
+
+
+def test_mega_doc_id_with_hash_char(spark):
+    """Mega-doc reassembly must handle doc_ids containing '#' (the page
+    separator is stripped from the END, not the first occurrence)."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
+
+    def span(page, y, text):
+        return ("text", text, "", 0, page, 10.0, float(y), 100.0, float(y + 10), 1.0, 0.0)
+
+    rows = [
+        ("a#b", [span(0, 10, "x1"), span(1, 10, "x2")]),
+        ("a#c", [span(0, 10, "y1"), span(1, 10, "y2")]),
+    ]
+    df = spark.createDataFrame(rows, f"doc_id string, spans {spans_schema_ddl()}")
+    cfg_split = ExtractConfig(mega_doc_span_cutoff=1)
+    out = {
+        r.doc_id: [(s.kind, s.text) for s in r.spans_out]
+        for r in extract_pipeline(df, cfg_split).collect()
+    }
+    assert set(out) == {"a#b", "a#c"}
+    assert out["a#b"] == [("text", "x1"), ("text", "x2")]
+    assert out["a#c"] == [("text", "y1"), ("text", "y2")]
+
+
+def test_downscale_exact_power_boundary(spark):
+    """n_bytes exactly 10MB / 40MB: the reference loop downsizes once more
+    (strict `size < ten_mb` break, applyocr.py:38)."""
+    from swissgeol_ocr_spark.functions.multimodal import TEN_MB, downscale_oversized
+
+    rows = [("m1", "d1", "image", None, ("jpg", 100, 100, TEN_MB, 0)),
+            ("m2", "d2", "image", None, ("jpg", 100, 100, 4 * TEN_MB, 0)),
+            ("m3", "d3", "image", None, ("jpg", 100, 100, TEN_MB - 1, 0))]
+    df = spark.createDataFrame(
+        rows,
+        "media_ref string, doc_id string, kind string, payload binary, "
+        "meta struct<format:string,width:int,height:int,n_bytes:bigint,duration_ms:bigint>",
+    )
+    out = {r.media_ref: r for r in downscale_oversized(df).collect()}
+    assert out["m1"].downscale_iters == 1 and not out["m1"].skip_oversized
+    assert out["m2"].downscale_iters == 2 and not out["m2"].skip_oversized
+    assert out["m3"].downscale_iters == 0 and not out["m3"].skip_oversized
