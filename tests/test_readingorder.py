@@ -293,3 +293,50 @@ def test_batched_column_walk_matches_sequential():
         # shared-buffer interference
         want = sequential(_Page(rects), current, preceding)
         assert tuple(float(v) for v in got) == tuple(float(v) for v in want), trial
+
+
+def test_interval_column_paragraph_layout():
+    """Analogue of the reference's most complex golden layout
+    (test_readingorder_pdfs.py:345-429): depth-interval rows, a full-width
+    paragraph, then a second interval set. Asserts the structural ordering
+    the reference pins (intervals before their descriptions, the paragraph
+    after the first table, the second table last)."""
+    rects, texts = [], []
+
+    def line(x0, y0, x1, y1, t):
+        rects.append((x0, y0, x1, y1))
+        texts.append(t)
+
+    # first section: depth label + two description lines
+    line(0, 40, 55, 52, "10-20m")
+    line(70, 40, 295, 52, "desc-1a")
+    line(70, 52, 290, 64, "desc-1b")
+    line(0, 125, 55, 137, "20-30m")
+    line(70, 125, 280, 137, "desc-2")
+    # paragraph spanning the full width
+    line(0, 155, 440, 167, "para-1")
+    line(0, 167, 445, 179, "para-2")
+    # second interval set
+    line(0, 215, 60, 227, "30-40m")
+    line(0, 230, 60, 242, "40-50m")
+    line(150, 215, 410, 227, "Humus")
+    line(150, 230, 415, 242, "Kies")
+
+    import numpy as np
+
+    blocks = sort_lines_indices(np.array(rects, dtype=np.float64))
+    order = [texts[i] for b in blocks for i in b]
+
+    pos = {t: i for i, t in enumerate(order)}
+    # intervals precede their right-hand descriptions
+    assert pos["10-20m"] < pos["desc-1a"] < pos["desc-1b"]
+    assert pos["20-30m"] < pos["desc-2"]
+    # the paragraph follows the whole first section
+    for t in ("10-20m", "desc-1a", "desc-1b", "20-30m", "desc-2"):
+        assert pos[t] < pos["para-1"]
+    assert pos["para-1"] < pos["para-2"]
+    # the second set comes last, depths before descriptions
+    for t in ("para-1", "para-2"):
+        assert pos[t] < pos["30-40m"]
+    assert pos["30-40m"] < pos["40-50m"]
+    assert pos["40-50m"] < pos["Humus"] < pos["Kies"]
