@@ -193,15 +193,76 @@ def _extract_batches(
         )
 
 
+def jvm_passthrough(df: DataFrame) -> DataFrame:
+    """Born-digital fast path entirely in JVM expressions — the relational
+    twin of the kernel's no-media shortcut (operators/extract.py:90-95,
+    mirroring reference ocr/__init__.py:128-131 + util.py:35: no image ⇒
+    digitally born ⇒ untouched ordered passthrough).
+
+    Must stay bit-identical to ``np.lexsort((offsets, page_nos))`` + dense
+    re-rank: sort key = (page_no, offset, original array position) — the
+    position term reproduces lexsort's stability for duplicate
+    (page, offset) pairs. No Arrow round-trip, no Python, no shuffle."""
+    keyed = F.transform(
+        "spans",
+        lambda s, i: F.struct(
+            s["page_no"].alias("p"),
+            s["offset"].alias("o"),
+            i.alias("i"),
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    # materialize the sorted array once (struct sort is lexicographic on
+    # (p, o, i); i is unique so later fields never compare) and derive every
+    # output column from it — the original spans column is dropped here
+    ordered = df.select("doc_id", F.sort_array(keyed).alias("_ord"))
+    return ordered.select(
+        "doc_id",
+        F.transform(
+            "_ord",
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans_out"),
+        F.size("_ord").cast("int").alias("n_spans_in"),
+        F.size("_ord").cast("int").alias("n_spans_out"),
+        F.size(
+            F.array_distinct(F.transform("_ord", lambda s: s["p"]))
+        ).cast("int").alias("n_pages"),
+        F.lit("ok").alias("status"),
+        F.spark_partition_id().alias("partition_id"),
+    )
+
+
 def extract_pipeline(
     spans_df: DataFrame,
     config: ExtractConfig | None = None,
     num_partitions: int | None = None,
     done_df: DataFrame | None = None,
     repartition: bool = True,
+    has_mega: bool | None = None,
+    use_jvm_passthrough: bool = True,
 ) -> DataFrame:
     """spans(doc_id, spans) → (doc_id, spans_out, n_spans_in, n_spans_out,
     n_pages), partitioned by hash(doc_id), with mega-docs split page-wise.
+
+    Plan construction is fully LAZY — no Spark job runs until the caller
+    acts on the result. Routing hints:
+
+    * ``has_mega``: None (default) builds both the kernel path and the
+      mega-split subtree; AQE collapses the empty side at runtime. Pass
+      False when table stats prove max(n_spans) ≤ cutoff (Iceberg column
+      max — drops the split subtree from the plan), True to document known
+      skew (same plan as None).
+    * optional hint columns on the input: ``n_spans`` (span count) and
+      ``has_media`` (any span.kind == 'media') — plain scalar columns make
+      the branch predicates pushdown-able so no branch re-reads the heavy
+      spans column just to route rows.
 
     The mega-doc path (SURVEY §4.2): AQE's skew handling cannot split a
     single giant row, so documents with more than
@@ -210,6 +271,11 @@ def extract_pipeline(
     reference: ocr/__init__.py:73-78 processes them one by one), extracted
     in parallel, and reassembled with an ordered window — bit-identical to
     the unsplit result.
+
+    The born-digital passthrough (use_jvm_passthrough, non-aggressive only):
+    no-media documents never enter the Arrow kernel — their output is a pure
+    JVM sort/re-rank (see ``jvm_passthrough``), saving the Python round-trip
+    for the large born-digital fraction of a web corpus.
     """
     config = config or ExtractConfig()
     spans_df = resume_filter(spans_df, done_df)
@@ -223,13 +289,11 @@ def extract_pipeline(
     else:
         sized = spans_df.withColumn("_n", F.size("spans"))
 
-    # Eager mega-doc existence check: when nothing exceeds the cutoff (the
-    # common case — mega scans are rare by definition), the entire salting
-    # subtree (second corpus scan + explode + two shuffles + union) is
-    # dropped from the plan, leaving the shuffle-free kernel path. Costs one
-    # early-exiting scan of the count column; on an Iceberg table the same
-    # answer comes free from column max() stats.
-    has_mega = not sized.filter(F.col("_n") > config.mega_doc_span_cutoff).isEmpty()
+    hint_cols = [c for c in ("has_media",) if c in sized.columns]
+    if "has_media" in sized.columns:
+        media_pred = F.col("has_media")
+    else:
+        media_pred = F.exists("spans", lambda s: s["kind"] == F.lit("media"))
 
     def run_kernel(df: DataFrame, do_shuffle: bool | None = None) -> DataFrame:
         # The explicit hash(doc_id) repartition (north rule) evens out the
@@ -237,6 +301,7 @@ def extract_pipeline(
         # bucketed/partitioned by doc_id upstream (the steady state for a
         # 100 TB Iceberg table), ``repartition=False`` skips the redundant
         # full-corpus shuffle — the single biggest cost after the kernel.
+        df = df.drop(*hint_cols)
         if repartition if do_shuffle is None else do_shuffle:
             df = df.repartition(n_part, "doc_id")
         return df.mapInArrow(
@@ -249,8 +314,16 @@ def extract_pipeline(
             F.spark_partition_id(),
         )
 
-    if not has_mega:
-        return run_kernel(spans_df.drop("n_spans"))
+    pt_out = None
+    if use_jvm_passthrough and not config.use_aggressive_strategy:
+        pt_out = jvm_passthrough(sized.filter(~media_pred).drop("_n", *hint_cols))
+        sized = sized.filter(media_pred)
+
+    def with_pt(out: DataFrame) -> DataFrame:
+        return out if pt_out is None else pt_out.unionByName(out)
+
+    if has_mega is False:
+        return with_pt(run_kernel(sized.drop("_n")))
 
     small = sized.filter(F.col("_n") <= config.mega_doc_span_cutoff).drop("_n")
     big = sized.filter(F.col("_n") > config.mega_doc_span_cutoff).drop("_n")
@@ -338,7 +411,7 @@ def extract_pipeline(
         )
     )
 
-    return small_out.unionByName(reassembled)
+    return with_pt(small_out.unionByName(reassembled))
 
 
 def metrics_table(out_df: DataFrame, run_id: str) -> DataFrame:

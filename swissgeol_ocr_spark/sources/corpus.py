@@ -168,6 +168,10 @@ def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
         "doc_id",
         spans.alias("spans"),
         (F.col("n_lines") + extra).cast("int").alias("n_spans"),
+        # routing hint consumed by plans.pipeline: layouts 1/2 are the only
+        # media-bearing classes, so the pipeline's born-digital passthrough
+        # predicate is a cheap scalar instead of an exists() over spans
+        F.col("layout").isin(1, 2).alias("has_media"),
     )
 
 

@@ -78,19 +78,55 @@ def test_pipeline_matches_local_kernel(spans_df):
 
 def test_mega_doc_split_is_exact(spans_df):
     """Page-split salting must be bit-identical to the unsplit kernel."""
-    # force everything through the mega path by lowering the cutoff
+    # force everything through the mega path by lowering the cutoff (and
+    # disabling the JVM passthrough, which would otherwise intercept the
+    # no-media docs before the split)
     cfg_split = ExtractConfig(mega_doc_span_cutoff=1)
     cfg_plain = ExtractConfig(mega_doc_span_cutoff=10**9)
     subset = spans_df.limit(15)
     split_out = {
         r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
-        for r in extract_pipeline(subset, cfg_split).collect()
+        for r in extract_pipeline(subset, cfg_split, use_jvm_passthrough=False).collect()
     }
     plain_out = {
         r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
-        for r in extract_pipeline(subset, cfg_plain).collect()
+        for r in extract_pipeline(subset, cfg_plain, use_jvm_passthrough=False).collect()
     }
     assert split_out == plain_out
+
+
+def test_jvm_passthrough_matches_kernel_path(spans_df):
+    """The JVM-side born-digital passthrough must be bit-identical to the
+    Arrow kernel's fast path (operators/extract.py:90-95) — same spans, same
+    ordering for duplicate (page, offset) keys, same n_pages/status."""
+    subset = spans_df.limit(60)
+    cols = ["doc_id", "spans_out", "n_spans_in", "n_spans_out", "n_pages", "status"]
+    jvm = {
+        r.doc_id: r
+        for r in extract_pipeline(subset, use_jvm_passthrough=True).select(*cols).collect()
+    }
+    kern = {
+        r.doc_id: r
+        for r in extract_pipeline(subset, use_jvm_passthrough=False).select(*cols).collect()
+    }
+    assert jvm == kern
+
+
+def test_plan_construction_is_lazy(spark):
+    """Constructing the pipeline plan must trigger ZERO Spark jobs (the
+    round-1 eager isEmpty() mega probe is gone): a corpus whose evaluation
+    raises must survive plan construction untouched."""
+    from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
+
+    poison = spark.range(3).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.from_json(
+            F.raise_error(F.lit("plan construction ran a job")).cast("string"),
+            spans_schema_ddl(),
+        ).alias("spans"),
+    )
+    out = extract_pipeline(poison)  # any action here would raise
+    assert "spans_out" in out.columns
 
 
 def test_resume_anti_join(spark, spans_df):
@@ -119,7 +155,7 @@ def test_mega_doc_id_with_hash_char(spark):
     cfg_split = ExtractConfig(mega_doc_span_cutoff=1)
     out = {
         r.doc_id: [(s.kind, s.text) for s in r.spans_out]
-        for r in extract_pipeline(df, cfg_split).collect()
+        for r in extract_pipeline(df, cfg_split, use_jvm_passthrough=False).collect()
     }
     assert set(out) == {"a#b", "a#c"}
     assert out["a#b"] == [("text", "x1"), ("text", "x2")]
