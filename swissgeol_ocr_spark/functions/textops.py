@@ -118,14 +118,16 @@ def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 2) -> Column:
     )
 
 
-def simhash16(digests: Column) -> Column:
-    """16-bit SimHash over a materialized per-token ``md5_digests`` column,
-    engine-portable.
+def simhash(digests: Column, bits: int = 16) -> Column:
+    """``bits``-bit SimHash over a materialized per-token ``md5_digests``
+    column, engine-portable (bits ≤ 32 — one md5 nibble per bit position).
 
-    Per token, md5's first 16 hex nibbles vote per bit position: nibble ≥ 8
-    votes +1, else −1; the sign per position forms the fingerprint."""
+    Per token, md5's first ``bits`` hex nibbles vote per bit position:
+    nibble ≥ 8 votes +1, else −1; the sign per position forms the
+    fingerprint. Returned as a non-negative BIGINT."""
+    assert bits <= 32
     bit_cols = []
-    for j in range(16):
+    for j in range(bits):
         votes = F.aggregate(
             digests,
             F.lit(0),
@@ -136,10 +138,35 @@ def simhash16(digests: Column) -> Column:
             ).otherwise(F.lit(-1)),
         )
         bit_cols.append(F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bit_cols[0]
+    out = bit_cols[0].cast("long")
     for c in bit_cols[1:]:
-        out = out + c
+        out = out + c.cast("long")
     return out
+
+
+def simhash16(digests: Column) -> Column:
+    """16-bit SimHash (the round-1 fingerprint face; see ``simhash``)."""
+    return simhash(digests, 16).cast("int")
+
+
+def simhash_band_keys(fingerprint: Column, bands: int = 4, band_bits: int = 8) -> Column:
+    """Band a SimHash fingerprint for the Hamming-neighbor join: band b's
+    key is 'b:' || the b-th ``band_bits``-bit slice. Two fingerprints within
+    Hamming distance ``bands - 1`` agree on at least one band (pigeonhole),
+    so the candidate join is an equi-join on this compact key — never an
+    all-pairs product. array<string> of length ``bands``."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.pmod(
+                    F.shiftright(fingerprint, b * band_bits), F.lit(1 << band_bits)
+                ).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def lang_score(text: Column, lang: str) -> Column:

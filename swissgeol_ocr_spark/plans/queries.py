@@ -314,9 +314,20 @@ FROM documents GROUP BY md5(text)
 """
 
 
+JACCARD_DF_CAP = 50  # max docs (within a source) a shingle may appear in
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-3-gram Jaccard ≥ 0.5 within the same
-    source (shingle equi-join, pair counts vs per-doc shingle counts)."""
+    source (shingle equi-join, pair counts vs per-doc shingle counts).
+
+    Hot-shingle cap: a shingle shared by k docs contributes k² join rows, so
+    one viral shingle would blow the pair join up quadratically at corpus
+    scale. Shingles with document frequency > JACCARD_DF_CAP (within their
+    source) are dropped BEFORE the pair join — this can only lower ``inter``
+    (never add a false positive), and any pair that could plausibly clear
+    Jaccard ≥ 0.5 shares many rare shingles, not only viral ones. The
+    denominator keeps the full per-doc shingle counts."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "source", F.split("text", " ").alias("w"))
@@ -324,10 +335,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     ex = docs.select("doc_id", "source", F.explode("sh").alias("shingle"))
+    rare = (
+        ex.groupBy("source", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("source", "shingle")
+    )
+    kept = ex.join(rare, ["source", "shingle"])
     pairs = (
-        ex.alias("a")
+        kept.alias("a")
         .join(
-            ex.alias("b"),
+            kept.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -360,9 +378,13 @@ WITH sh AS (
   SELECT doc_id, len(shingles) AS n_sh FROM sh
 ), ex AS (
   SELECT doc_id, source, unnest(shingles) AS shingle FROM sh
+), rare AS (
+  SELECT source, shingle FROM ex GROUP BY source, shingle HAVING count(*) <= 50
+), kept AS (
+  SELECT ex.doc_id, ex.source, ex.shingle FROM ex JOIN rare USING (source, shingle)
 ), pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
-  FROM ex a JOIN ex b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -448,12 +470,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", textops.simhash16(F.col("dg")).alias("simhash"))
 
 
-_SIMHASH_BIT_TERMS = " + ".join(
-    "(CASE WHEN list_sum(list_transform(dgs, d -> CASE WHEN "
-    f"instr('0123456789abcdef', substr(d, {j + 1}, 1)) >= 9 "
-    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(16)
-)
+def _simhash_bit_terms(bits: int) -> str:
+    return " + ".join(
+        "(CASE WHEN list_sum(list_transform(dgs, d -> CASE WHEN "
+        f"instr('0123456789abcdef', substr(d, {j + 1}, 1)) >= 9 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+
 
 SQL_SIMHASH = f"""
 WITH dg AS (
@@ -461,8 +485,65 @@ WITH dg AS (
          list_transform(string_split(text, ' '), t -> md5(t)) AS dgs
   FROM documents
 )
-SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS INT) AS simhash
+SELECT doc_id, CAST({_simhash_bit_terms(16)} AS INT) AS simhash
 FROM dg
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the banded Hamming-neighbor join: 32-bit
+    fingerprints, 4 bands × 8 bits. Any two fingerprints within Hamming
+    distance 3 agree on ≥1 band (pigeonhole over 4 bands), so candidates
+    meet in an equi-join on the compact band key — one shuffle, never an
+    all-pairs product — and are then verified with an exact popcount."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textops.md5_digests(F.split("text", " ")).alias("dg")
+    )
+    fp = docs.select("doc_id", textops.simhash(F.col("dg"), 32).alias("fp"))
+    banded = fp.select(
+        "doc_id", "fp",
+        F.explode(textops.simhash_band_keys(F.col("fp"), bands=4, band_bits=8)).alias("bk"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH dg AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> md5(t)) AS dgs
+  FROM documents
+), fp AS (
+  SELECT doc_id, CAST({_simhash_bit_terms(32)} AS BIGINT) AS fp FROM dg
+), banded AS (
+  SELECT doc_id, fp, unnest([
+    '0:' || CAST(fp % 256 AS VARCHAR),
+    '1:' || CAST((fp // 256) % 256 AS VARCHAR),
+    '2:' || CAST((fp // 65536) % 256 AS VARCHAR),
+    '3:' || CAST((fp // 16777216) % 256 AS VARCHAR)]) AS bk
+  FROM fp
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fa, b.fp AS fb
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
 """
 
 
@@ -570,33 +651,80 @@ WHERE NOT EXISTS (
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: within a label partition, pairs with
-    cosine ≥ 0.95 (the candidate-bounded exact variant; the LSH bucket is
-    the scale path for unpartitioned corpora)."""
+    """Embedding-cosine near-dup pairs, LSH-bucketed: candidates must share
+    (label, sign-hyperplane bucket) — an equi-join on a compact key, NEVER
+    the O(n²)-per-label all-pairs product of round 1 — then exact cosine
+    rescoring keeps pairs ≥ 0.95.
+
+    The raw table has no near-duplicates (max within-label cosine ≈ 0.47),
+    so a deterministic clone set (every vec_id % 5 == 0, first component
+    × 1.02 → cosine ≈ 0.9998) is planted identically in both engines,
+    making the check exercise bucket collision + rescoring for real."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("label"), F.col("embedding").alias("va")
+    base = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("label"), F.col("embedding").alias("vb")
+    clones = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x, j: F.when(j == 0, x * 1.02).otherwise(x)
+        ).alias("embedding"),
     )
-    pairs = a.join(b, ["label"]).filter(F.col("a_id") < F.col("b_id"))
-    sim = F.round(simsearch.cosine(F.col("va"), F.col("vb")), 6)
+    aug = base.unionByName(clones)
+    bkt = aug.withColumn("_bucket", simsearch.lsh_bucket(F.col("embedding"), 8))
+    pairs = bkt.alias("a").join(
+        bkt.alias("b"),
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = F.round(simsearch.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (
-        pairs.select("a_id", "b_id", sim.alias("cos_sim"))
+        pairs.select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            sim.alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.95)
     )
 
 
 SQL_DEDUP_EMBED = """
-WITH pairs AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS va, b.embedding AS vb
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), clones AS (
+  SELECT vec_id + 100000 AS vec_id, label,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.02 ELSE x END) AS v
+  FROM base WHERE vec_id % 5 = 0
+), aug AS (
+  SELECT * FROM base UNION ALL SELECT * FROM clones
+), planes AS (
+  SELECT p.plane, j.j,
+         ((p.plane * 8191 + j.j * 127 + 13) * 2654435761) % 1000 / 1000.0 - 0.5
+           AS comp
+  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+       (SELECT unnest(range(0, 64)) AS j) j
+), vecs AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM aug
+), proj AS (
+  SELECT vec_id, plane, sum(x * comp) AS dotp
+  FROM vecs JOIN planes ON vecs.j = planes.j
+  GROUP BY vec_id, plane
+), buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dotp > 0 THEN 1 << plane ELSE 0 END) AS INT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS va, b.v AS vb
+  FROM (SELECT aug.*, bucket FROM aug JOIN buckets USING (vec_id)) a
+  JOIN (SELECT aug.*, bucket FROM aug JOIN buckets USING (vec_id)) b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), expl AS (
-  SELECT a_id, b_id,
-         CAST(unnest(va) AS DOUBLE) AS x,
-         CAST(unnest(vb) AS DOUBLE) AS y
+  SELECT a_id, b_id, unnest(va) AS x, unnest(vb) AS y
   FROM pairs
 ), scored AS (
   SELECT a_id, b_id,
@@ -951,6 +1079,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBED),
     "c6_spatial_antijoin": (q_c6_spatial_antijoin, SQL_C6),
     "p7_downscale_budget": (q_p7_downscale_budget, SQL_P7),

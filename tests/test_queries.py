@@ -94,3 +94,37 @@ def test_dedup_clusters_invariants(spark):
         members[c].append(doc)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def test_jaccard_hot_shingle_cap(spark, tmp_path):
+    """One viral shingle shared by 60 docs must NOT create 60² candidate
+    pairs: the document-frequency cap drops it before the pair join, while
+    genuine near-dups (sharing many rare shingles) still surface."""
+    from swissgeol_ocr_spark.plans.queries import q_dedup_ngram_jaccard
+
+    rows = [(i, "s1", f"u{i} v{i} x y z") for i in range(60)]  # viral 'x y z'
+    rows += [(100, "s1", "p q r s t"), (101, "s1", "p q r s t")]  # true dup
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    got = {(r.a_id, r.b_id) for r in out}
+    assert (100, 101) in got
+    # no pair among the viral docs — their only shared shingle was capped
+    assert all(a >= 100 for a, b in got)
+
+
+def test_simhash_band_pigeonhole():
+    """Any two 32-bit fingerprints within Hamming distance 3 must share at
+    least one of the 4 × 8-bit band keys (the join-completeness guarantee
+    behind dedup_simhash_pairs)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(2000):
+        a = rng.getrandbits(32)
+        b = a
+        for bit in rng.sample(range(32), rng.randint(0, 3)):
+            b ^= 1 << bit
+        bands_a = [(i, (a >> (8 * i)) & 255) for i in range(4)]
+        bands_b = [(i, (b >> (8 * i)) & 255) for i in range(4)]
+        assert set(bands_a) & set(bands_b), (a, b)
