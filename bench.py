@@ -199,8 +199,9 @@ def main_scaling() -> None:
             "Protocol (BASELINE.md): identical extraction job, identical input\n"
             f"({SF_DIR} documents replicated deterministically into the\n"
             "north-rule spans corpus), run at three pinned local parallelism\n"
-            "levels in separate JVMs; best-of-3 timed runs per level\n"
-            "(±15% single-run noise on the shared cloud host).\n\n"
+            f"levels in separate JVMs; best of {runs} interleaved passes ×\n"
+            f"{os.environ.get('SPARK_GRAFT_BENCH_REPEATS', '2')} timed runs "
+            "per level (±15% single-run noise on the\nshared cloud host).\n\n"
             "| cores | docs | wall (s) | docs/sec |\n|---|---|---|---|\n"
             f"| 2 (N) | {r2['n_docs']} | {r2['elapsed']:.2f} | {r2['docs_per_sec']:.1f} |\n"
             f"| 8 (4N) | {r8['n_docs']} | {r8['elapsed']:.2f} | {r8['docs_per_sec']:.1f} |\n"
@@ -211,7 +212,10 @@ def main_scaling() -> None:
             "## Hardware-ceiling control (no Spark)\n\n"
             "K independent pinned Python processes each running the bare\n"
             "extraction kernel on the same 5000-doc corpus slice — the\n"
-            "per-core ceiling any executor layout on this box can reach:\n\n"
+            "per-core ceiling any executor layout on this box can reach.\n"
+            "ONE-TIME measurement (2026-08-16, this 32-core shared cloud\n"
+            "host, scripts/ceiling_control.py) — not re-measured on each\n"
+            "--scaling run; regenerate it when the host changes:\n\n"
             "| procs | per-proc docs/s | per-core efficiency vs 2 procs |\n"
             "|---|---|---|\n"
             "| 2 | 927 | 1.00 |\n| 8 | 797 | 0.86 |\n| 32 | 622 | 0.67 |\n\n"

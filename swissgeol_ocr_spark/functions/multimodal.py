@@ -99,6 +99,46 @@ def downscale_oversized(media: DataFrame) -> DataFrame:
     )
 
 
+def crop_to_visible(media: DataFrame) -> DataFrame:
+    """P6 crop-to-page with the reference's cost rule (crop.py:85-123):
+    crop the image to its visible page region, but keep the crop ONLY if
+    the result is ≥20% smaller — ``if len(img_byte_arr) > 0.8 * dict["size"]:
+    skip`` (crop.py:110-115). Pure column math over the metadata.
+
+    Expects visible-region columns (vx0, vy0, vx1, vy1) in image pixel
+    coordinates alongside the media schema. The crop rect is intersected
+    with the image box and rounded outward to integer pixels (the
+    reference's ``crop.round()``, crop.py:97). The re-encoded size is a
+    deterministic area-proportional estimate (the pixel re-encode itself
+    is codec work — see module docstring); the accept/skip decision and
+    the metadata rewrite are the real engine semantics."""
+    w, h, n = F.col("meta.width"), F.col("meta.height"), F.col("meta.n_bytes")
+    cx0 = F.floor(F.greatest(F.lit(0.0), F.col("vx0"))).cast("int")
+    cy0 = F.floor(F.greatest(F.lit(0.0), F.col("vy0"))).cast("int")
+    cx1 = F.ceil(F.least(w.cast("double"), F.col("vx1"))).cast("int")
+    cy1 = F.ceil(F.least(h.cast("double"), F.col("vy1"))).cast("int")
+    crop_w = F.greatest(F.lit(0), cx1 - cx0)
+    crop_h = F.greatest(F.lit(0), cy1 - cy0)
+    # deterministic stand-in for the JPEG re-encode: bytes scale with the
+    # kept pixel fraction (floor keeps the estimate integral + cross-engine)
+    est = F.floor(
+        n.cast("double") * (crop_w * crop_h).cast("double") / (w * h).cast("double")
+    ).cast("bigint")
+    accepted = (crop_w > 0) & (crop_h > 0) & ~(
+        est.cast("double") > 0.8 * n.cast("double")
+    )
+    return media.select(
+        "*",
+        crop_w.alias("crop_w"),
+        crop_h.alias("crop_h"),
+        est.alias("est_bytes"),
+        accepted.alias("crop_accepted"),
+        F.when(accepted, crop_w).otherwise(w).alias("eff_width"),
+        F.when(accepted, crop_h).otherwise(h).alias("eff_height"),
+        F.when(accepted, est).otherwise(n).alias("eff_bytes"),
+    )
+
+
 def extract_media_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column via
     ``mapInPandas`` — the batch shape (one pandas chunk = many media rows,

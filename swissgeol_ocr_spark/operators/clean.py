@@ -12,6 +12,14 @@ visible ink — tested with a 10%-shrunk rect and a 20% coverage allowance
 Returns the indices of spans to strip plus the visibility mask consumed by
 the C6 suppression step. Order-sensitive and stateful by design — this is
 the reason the spans carry a draw-order ``offset``.
+
+Kind-mapping note: the single 'media' kind stands for BOTH of the
+reference's raster ops, fill-image and fill-imgmask (classify.py mapping).
+The reference's aggressive sweep lowers the mask / hides covered text only
+on fill-image (clean.py:96), so when an input corpus distinguishes image
+masks, a 'media' span that is really an imgmask slightly over-approximates
+mask removal here. Split an 'imgmask' kind if the corpus model ever
+carries the distinction.
 """
 
 from __future__ import annotations

@@ -149,8 +149,10 @@ def _extract_page(
 
     if not cand:
         return emitted
-    if len(cand) > config.max_lines_per_page:
-        # scale guard replacing the reference's 10MB skip (applyocr.py:63-65)
+    if not config.build_lines_from_words and len(cand) > config.max_lines_per_page:
+        # scale guard replacing the reference's 10MB skip (applyocr.py:63-65);
+        # at word granularity the guard is applied AFTER grouping (below) so
+        # the skip boundary is the same line count on both input granularities
         return emitted
 
     cand_arr = np.array(cand, dtype=np.int64)
@@ -166,6 +168,10 @@ def _extract_page(
         # "rotation of first word applies to the line", textline.py:40-42)
         grouped = lines_from_words(cand_texts, cand_rects)
         if not grouped:
+            return emitted
+        if len(grouped) > config.max_lines_per_page:
+            # line-count guard, post-grouping (same boundary as the
+            # line-granularity path above)
             return emitted
         cand_texts = [t for t, _, _ in grouped]
         cand_rects = np.array([r for _, r, _ in grouped], dtype=np.float64)

@@ -414,6 +414,25 @@ def extract_pipeline(
     return with_pt(small_out.unionByName(reassembled))
 
 
+def debug_table(out_df: DataFrame) -> DataFrame:
+    """E2 debug output (reference ocr/__init__.py:139-141): the reference
+    inserts a VISIBLE copy of the drawn OCR text layer as an extra page
+    after each processed page so a human can inspect what was detected.
+    The engine analogue is a queryable table: one row per new text line the
+    pipeline emitted (kind='ocr-text'), in reading order, flagged visible —
+    what ``draw_ocr_text_page(..., visible=True)`` renders."""
+    return (
+        out_df.select("doc_id", F.explode("spans_out").alias("s"))
+        .filter(F.col("s.kind") == "ocr-text")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.text").alias("text"),
+            F.lit(True).alias("visible"),
+        )
+    )
+
+
 def metrics_table(out_df: DataFrame, run_id: str) -> DataFrame:
     """Per-partition lineage + metrics rows (reference ProcessResult +
     S5 metadata, ocr/__init__.py:25-27, aws/aws.py:78-88): one row per

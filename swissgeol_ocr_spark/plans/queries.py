@@ -605,6 +605,75 @@ FROM k
 """
 
 
+def q_p6_crop_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 crop-to-page cost rule (reference crop.py:85-123): crop each
+    image to its visible region, accept only if ≥20% smaller. Media +
+    visible rects synthesized deterministically from ``documents``; the
+    accept/skip decision is functions/multimodal.crop_to_visible."""
+    from swissgeol_ocr_spark.functions.multimodal import crop_to_visible
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("jpg").alias("format"),
+            (F.col("doc_id") % 900 + 100).cast("int").alias("width"),
+            (F.col("doc_id") % 700 + 100).cast("int").alias("height"),
+            ((F.col("n_chars") + 1) * 4096).cast("bigint").alias("n_bytes"),
+            F.lit(0).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+        # visible region: deterministic sub-rect (sometimes nearly the whole
+        # image → crop rejected; sometimes a corner → accepted)
+        (F.col("doc_id") % 37).cast("double").alias("vx0"),
+        (F.col("doc_id") % 23).cast("double").alias("vy0"),
+        ((F.col("doc_id") % 900 + 100) * (F.lit(0.35) + (F.col("doc_id") % 13).cast("double") / 20.0)).alias("vx1"),
+        ((F.col("doc_id") % 700 + 100) * (F.lit(0.35) + (F.col("doc_id") % 11).cast("double") / 16.0)).alias("vy1"),
+    )
+    out = crop_to_visible(media)
+    return out.select(
+        "media_ref", "crop_w", "crop_h", "est_bytes", "crop_accepted",
+        "eff_width", "eff_height", "eff_bytes",
+    )
+
+
+SQL_P6 = """
+WITH m AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
+         CAST(doc_id % 900 + 100 AS INT) AS w,
+         CAST(doc_id % 700 + 100 AS INT) AS h,
+         CAST((n_chars + 1) * 4096 AS BIGINT) AS n,
+         CAST(doc_id % 37 AS DOUBLE) AS vx0,
+         CAST(doc_id % 23 AS DOUBLE) AS vy0,
+         (doc_id % 900 + 100) * (0.35 + (doc_id % 13) / 20.0) AS vx1,
+         (doc_id % 700 + 100) * (0.35 + (doc_id % 11) / 16.0) AS vy1
+  FROM documents
+), c AS (
+  SELECT media_ref, w, h, n,
+         greatest(0, CAST(ceil(least(CAST(w AS DOUBLE), vx1)) AS INT)
+                   - CAST(floor(greatest(0.0, vx0)) AS INT)) AS crop_w,
+         greatest(0, CAST(ceil(least(CAST(h AS DOUBLE), vy1)) AS INT)
+                   - CAST(floor(greatest(0.0, vy0)) AS INT)) AS crop_h
+  FROM m
+), e AS (
+  SELECT *, CAST(floor(n * CAST(crop_w * crop_h AS DOUBLE)
+                         / CAST(w * h AS DOUBLE)) AS BIGINT) AS est_bytes
+  FROM c
+)
+SELECT media_ref, crop_w, crop_h, est_bytes,
+       (crop_w > 0 AND crop_h > 0 AND NOT (est_bytes > 0.8 * n)) AS crop_accepted,
+       CASE WHEN crop_w > 0 AND crop_h > 0 AND NOT (est_bytes > 0.8 * n)
+            THEN crop_w ELSE w END AS eff_width,
+       CASE WHEN crop_w > 0 AND crop_h > 0 AND NOT (est_bytes > 0.8 * n)
+            THEN crop_h ELSE h END AS eff_height,
+       CASE WHEN crop_w > 0 AND crop_h > 0 AND NOT (est_bytes > 0.8 * n)
+            THEN est_bytes ELSE n END AS eff_bytes
+FROM e
+"""
+
+
 def q_c6_spatial_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 mask suppression as a relational spatial anti-join: candidate
     rects that do NOT intersect any keep-out rect (the reference's
@@ -1082,6 +1151,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBED),
     "c6_spatial_antijoin": (q_c6_spatial_antijoin, SQL_C6),
+    "p6_crop_accept": (q_p6_crop_accept, SQL_P6),
     "p7_downscale_budget": (q_p7_downscale_budget, SQL_P7),
     "word_positions": (q_word_positions, SQL_WORD_POS),
     "set_except": (q_set_except, SQL_SET_EXCEPT),

@@ -146,3 +146,54 @@ def test_streaming_metrics_windowed(spark, sf_dir, tmp_path):
     ).first()
     assert rows.d == expected.d
     assert rows.s == expected.s
+
+
+def test_crop_to_visible_cost_rule(spark):
+    """P6 (reference crop.py:110-115): accept the crop only when the
+    estimated re-encoded size is NOT > 0.8 x the original."""
+    from swissgeol_ocr_spark.functions.multimodal import crop_to_visible
+
+    rows = [
+        # full-image visible region -> est == n -> rejected
+        ("m1", "d1", "image", None, ("jpg", 100, 100, 10000, 0), 0.0, 0.0, 100.0, 100.0),
+        # quarter visible -> est = 2500 <= 8000 -> accepted
+        ("m2", "d2", "image", None, ("jpg", 100, 100, 10000, 0), 0.0, 0.0, 50.0, 50.0),
+        # near-0.8 boundary: sqrt(0.8)*100 rounds OUTWARD to a 90x90 crop
+        ("m3", "d3", "image", None, ("jpg", 100, 100, 10000, 0), 0.0, 0.0, 89.4427190999916, 89.4427190999916),
+        # degenerate region -> rejected, originals kept
+        ("m4", "d4", "image", None, ("jpg", 100, 100, 10000, 0), 60.0, 60.0, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_ref string, doc_id string, kind string, payload binary, "
+        "meta struct<format:string,width:int,height:int,n_bytes:bigint,duration_ms:bigint>, "
+        "vx0 double, vy0 double, vx1 double, vy1 double",
+    )
+    out = {r.media_ref: r for r in crop_to_visible(df).collect()}
+    assert not out["m1"].crop_accepted and out["m1"].eff_bytes == 10000
+    assert out["m2"].crop_accepted and out["m2"].eff_bytes == 2500
+    assert out["m2"].eff_width == 50 and out["m2"].eff_height == 50
+    # 89.44.. ceils to 90 -> 8100 bytes > 8000 -> rejected; the rule is on
+    # the rounded-outward integer crop rect, like the reference's crop.round()
+    assert not out["m3"].crop_accepted
+    assert not out["m4"].crop_accepted and out["m4"].crop_w == 0
+
+
+def test_debug_table(spark):
+    """E2 (reference ocr/__init__.py:139-141): one visible row per emitted
+    ocr-text line, none for base-layer spans."""
+    from swissgeol_ocr_spark.plans.pipeline import debug_table
+
+    rows = [
+        ("d1", [("media", "", "m", 0), ("ocr-text", "hello", "", 1),
+                ("ocr-text", "world", "", 2)]),
+        ("d2", [("text", "base", "", 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans_out array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = [(r.doc_id, r.offset, r.text, r.visible) for r in
+           debug_table(df).orderBy("doc_id", "offset").collect()]
+    assert got == [("d1", 1, "hello", True), ("d1", 2, "world", True)]
