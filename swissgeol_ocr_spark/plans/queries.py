@@ -1113,6 +1113,30 @@ def q_extract_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages", "status")
 
 
+def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline over WORD-granularity scanned input (the raw
+    detection shape — Textract WORD blocks in the reference,
+    textract_api_schema.py:64-78): build_lines_from_words exercises the
+    from-scratch layout detection (assemble.lines_from_words band grouping
+    + the draw.py:34-39 space rule) on every page. Kernel-backed →
+    rows-only check."""
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+    from swissgeol_ocr_spark.sources.corpus import documents_to_word_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_pipeline(
+        documents_to_word_spans(docs), ExtractConfig(build_lines_from_words=True)
+    )
+    return out.select("doc_id", F.explode("spans_out").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded output span sequences (span-sequence equality surface):
     one row per output span, rows-only check."""
@@ -1164,6 +1188,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "extract_flagship": (q_extract_flagship, None),
     "extract_sequence": (q_extract_sequence, None),
+    "extract_words": (q_extract_words, None),
     "extract_aggressive": (q_extract_aggressive, None),
     "dedup_clusters": (q_dedup_clusters, None),
 }

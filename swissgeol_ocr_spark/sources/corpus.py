@@ -138,22 +138,7 @@ def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
     )
 
     # re-number offsets densely in array order (the draw order)
-    spans = F.transform(
-        spans,
-        lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            i.cast("int").alias("offset"),
-            s["page_no"].alias("page_no"),
-            s["x0"].alias("x0"),
-            s["y0"].alias("y0"),
-            s["x1"].alias("x1"),
-            s["y1"].alias("y1"),
-            s["confidence"].alias("confidence"),
-            s["orientation"].alias("orientation"),
-        ),
-    )
+    spans = _renumber(spans)
 
     # materialized count: a pushdown-able predicate column so the pipeline's
     # mega-doc split never re-reads the heavy spans column; computed from the
@@ -172,6 +157,127 @@ def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
         # media-bearing classes, so the pipeline's born-digital passthrough
         # predicate is a cheap scalar instead of an exists() over spans
         F.col("layout").isin(1, 2).alias("has_media"),
+    )
+
+
+def _h(key: Column, width: int = 4) -> Column:
+    """Engine-portable deterministic hash: the first ``width`` hex nibbles
+    of md5(key) as an integer. DuckDB computes the identical value with
+    ``CAST('0x' || substr(md5(key), 1, width) AS BIGINT)`` — unlike
+    xxhash64, which is Spark-only. Used wherever the corpus needs
+    per-element pseudo-randomness that a cross-engine oracle must be able
+    to reproduce."""
+    return F.conv(F.substring(F.md5(key), 1, width), 16, 10).cast("bigint")
+
+
+def _renumber(spans: Column) -> Column:
+    """Re-number offsets densely in array order (the draw order)."""
+    return F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+            s["page_no"].alias("page_no"),
+            s["x0"].alias("x0"),
+            s["y0"].alias("y0"),
+            s["x1"].alias("x1"),
+            s["y1"].alias("y1"),
+            s["confidence"].alias("confidence"),
+            s["orientation"].alias("orientation"),
+        ),
+    )
+
+
+# word-granularity geometry: words step 36pt with 30pt glyph width, so the
+# next word starts strictly right of this one's end (explicit space on
+# join, reference draw.py:34-39) — except "glued" words widened to the full
+# step, whose successor starts exactly at their end (no space)
+WORD_W = 30.0
+WORD_STEP = 36.0
+
+
+def documents_to_word_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
+    """documents(doc_id, text) → word-granularity scanned spans: the raw
+    detection shape the reference consumes (Textract WORD blocks,
+    textract_api_schema.py:64-78 / textline.py:54). Every page carries a
+    full-page media span (scanned) plus one 'ocr-text' span PER WORD, so
+    the pipeline must run the from-scratch layout detection end-to-end:
+    C2 strip → word→line grouping (assemble.lines_from_words, with the
+    draw.py:26-39 band + space rules) → reading order → confidence filter.
+
+    Geometry: single column, WORDS_PER_LINE words per line band (y-step
+    14pt, mutual-band-disjoint between lines); a deterministic ~1/7 subset
+    of words is "glued" (width = full 36pt step) so the no-space join rule
+    is exercised on real pipeline data. Per-word confidence is hash-derived
+    like the line corpus. Pure function of (doc_id, text); all hashing is
+    the engine-portable md5 arithmetic of ``_h``."""
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("words"),
+    )
+    if mega_docs:
+        d = d.withColumn(
+            "words",
+            F.when(
+                F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":m"))), F.lit(MEGA_MOD)) == 0,
+                F.flatten(F.array_repeat(F.col("words"), MEGA_FACTOR)),
+            ).otherwise(F.col("words")),
+        )
+    d = d.withColumn("n_words", F.size("words"))
+    d = d.withColumn(
+        "n_pages",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("n_words") / F.lit(WORDS_PER_LINE * LINES_PER_PAGE)),
+        ).cast("int"),
+    )
+    word_spans = F.transform(
+        F.sequence(F.lit(0), F.col("n_words") - 1), lambda j: _word_span(j)
+    )
+    media_spans = F.transform(
+        F.sequence(F.lit(0), F.col("n_pages") - 1), lambda p: _media_span(p)
+    )
+    spans = _renumber(F.concat(media_spans, word_spans))
+    return d.select(
+        "doc_id",
+        spans.alias("spans"),
+        (F.col("n_words") + F.col("n_pages")).cast("int").alias("n_spans"),
+        F.lit(True).alias("has_media"),
+    )
+
+
+def _word_span(j: Column) -> Column:
+    line = (j / F.lit(WORDS_PER_LINE)).cast("int")
+    k = j - line * F.lit(WORDS_PER_LINE)
+    page = (line / F.lit(LINES_PER_PAGE)).cast("int")
+    row = line - page * F.lit(LINES_PER_PAGE)
+    y0 = F.lit(40.0) + row.cast("double") * F.lit(LINE_HEIGHT + LINE_GAP)
+    x0 = F.lit(40.0) + k.cast("double") * F.lit(WORD_STEP)
+    glued = (
+        F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":g"), j.cast("string"))), F.lit(7)) == 0
+    ) & (k < F.lit(WORDS_PER_LINE - 1))
+    width = F.when(glued, F.lit(WORD_STEP)).otherwise(F.lit(WORD_W))
+    conf = (
+        F.lit(0.55)
+        + F.pmod(
+            _h(F.concat(F.col("doc_id"), F.lit(":c"), j.cast("string"))), F.lit(45)
+        ).cast("double")
+        / F.lit(100.0)
+    )
+    return F.struct(
+        F.lit("ocr-text").alias("kind"),
+        F.element_at(F.col("words"), j + 1).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+        page.alias("page_no"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (x0 + width).alias("x1"),
+        (y0 + F.lit(LINE_HEIGHT)).alias("y1"),
+        conf.alias("confidence"),
+        F.lit(0.0).alias("orientation"),
     )
 
 

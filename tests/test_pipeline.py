@@ -179,3 +179,74 @@ def test_downscale_exact_power_boundary(spark):
     assert out["m1"].downscale_iters == 1 and not out["m1"].skip_oversized
     assert out["m2"].downscale_iters == 2 and not out["m2"].skip_oversized
     assert out["m3"].downscale_iters == 0 and not out["m3"].skip_oversized
+
+
+def test_word_corpus_layout_detection(spark, sf_dir):
+    """Word-granularity corpus end-to-end: (a) the distributed pipeline with
+    build_lines_from_words matches the local kernel span-for-span; (b) the
+    corpus geometry + assemble.lines_from_words reconstruct exactly the
+    original text lines, with glued words joined WITHOUT a space (the
+    draw.py:34-39 rule) and everything else space-joined."""
+    import hashlib
+    import math
+
+    from swissgeol_ocr_spark.operators.assemble import lines_from_words
+    from swissgeol_ocr_spark.sources.corpus import (
+        WORDS_PER_LINE,
+        documents_to_word_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    word_spans = documents_to_word_spans(docs).cache()
+    rows = word_spans.collect()
+
+    cfg = ExtractConfig(build_lines_from_words=True)
+    out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(word_spans, cfg).collect()
+    }
+    for row in rows:
+        spans = row.spans
+        expected = extract_document(
+            [s.kind for s in spans],
+            [s.text for s in spans],
+            [s.media_ref for s in spans],
+            np.array([s.offset for s in spans]),
+            np.array([s.page_no for s in spans]),
+            np.array([[s.x0, s.y0, s.x1, s.y1] for s in spans], dtype=np.float64),
+            np.array([s.confidence for s in spans]),
+            np.array([s.orientation for s in spans]),
+            cfg,
+        )
+        assert out[row.doc_id] == expected, row.doc_id
+
+    def h16(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:4], 16)
+
+    texts = {str(r.doc_id): r.text for r in docs.collect()}
+    checked = 0
+    for row in rows:
+        if h16(f"{row.doc_id}:m") % 101 == 0:
+            continue  # mega doc — words repeated; skip for the line check
+        words_list = texts[row.doc_id].split(" ")
+        page0 = [s for s in row.spans if s.kind == "ocr-text" and s.page_no == 0]
+        grouped = lines_from_words(
+            [s.text for s in page0],
+            np.array([[s.x0, s.y0, s.x1, s.y1] for s in page0]),
+        )
+        n_lines_p0 = min(40, math.ceil(len(words_list) / WORDS_PER_LINE))
+        expected_lines = []
+        for li in range(n_lines_p0):
+            seg = words_list[li * WORDS_PER_LINE:(li + 1) * WORDS_PER_LINE]
+            parts = []
+            for k, w in enumerate(seg):
+                j = li * WORDS_PER_LINE + k
+                parts.append(w)
+                if k < len(seg) - 1:
+                    glued = (h16(f"{row.doc_id}:g{j}") % 7 == 0) and k < WORDS_PER_LINE - 1
+                    if not glued:
+                        parts.append(" ")
+            expected_lines.append("".join(parts))
+        assert [t for t, _, _ in grouped] == expected_lines, row.doc_id
+        checked += 1
+    assert checked >= 5
