@@ -1088,9 +1088,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full extraction pipeline on the synthesized spans corpus.
-    Non-SQL-expressible (the layout kernels ARE the operator) → the driver
-    records the weaker rows-only check."""
+    """The full extraction pipeline on the synthesized spans corpus; the
+    oracle checks per-document metrics (input span count, output span
+    count, page count) against the DuckDB-regenerated corpus + the
+    expected-sequence union of SQL_EXTRACT_SEQUENCE."""
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
 
@@ -1101,7 +1102,9 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The extraction pipeline under the aggressive strategy (C3 visibility
-    sweep on every page + C6 mask suppression); rows-only check."""
+    sweep on every page + C6 mask suppression), as the exploded span
+    sequence. Oracle: golden parquet precomputed by the pure-python
+    corpus+kernel twin (scripts/make_golden.py)."""
     from swissgeol_ocr_spark.plans.config import ExtractConfig
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
@@ -1110,7 +1113,13 @@ def q_extract_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_pipeline(
         documents_to_spans(docs), ExtractConfig(use_aggressive_strategy=True)
     )
-    return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages", "status")
+    return out.select("doc_id", F.explode("spans_out").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
 
 
 def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,8 +1127,8 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection shape — Textract WORD blocks in the reference,
     textract_api_schema.py:64-78): build_lines_from_words exercises the
     from-scratch layout detection (assemble.lines_from_words band grouping
-    + the draw.py:34-39 space rule) on every page. Kernel-backed →
-    rows-only check."""
+    + the draw.py:34-39 space rule) on every page. Oracle: golden parquet
+    from the pure-python corpus+kernel twin (scripts/make_golden.py)."""
     from swissgeol_ocr_spark.plans.config import ExtractConfig
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
     from swissgeol_ocr_spark.sources.corpus import documents_to_word_spans
@@ -1138,8 +1147,15 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded output span sequences (span-sequence equality surface):
-    one row per output span, rows-only check."""
+    """Exploded output span sequences — the north rule's span-sequence
+    equality surface, now with a HARD oracle (SQL_EXTRACT_SEQUENCE): the
+    corpus is a pure function of (doc_id, text) under engine-portable md5
+    hashing, so DuckDB regenerates the exact expected sequence for layouts
+    0/2/3 in closed form; the reading-order-heavy layout 1 is pinned by a
+    golden parquet precomputed by the PURE-PYTHON corpus+kernel twin
+    (scripts/make_golden.py — independent of all Spark plumbing).
+    Reference semantics pinned end-to-end: ocr/readingorder.py:178-223 +
+    ocr/applyocr.py:94-112."""
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
 
@@ -1152,6 +1168,107 @@ def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
+
+
+def _golden_path(name: str) -> str:
+    import os
+
+    return os.path.normpath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "..", "tests", "golden", name)
+    )
+
+
+# Expected extraction output, regenerated inside DuckDB (driver runs the
+# oracle at sf=0.01, where the layout-1 golden below was precomputed):
+#   layout 0 — born-digital passthrough: lines in index order
+#   layout 2 — text-under-image (Tiefenbrunnen): per page, the media span
+#              then the re-detected lines as ocr-text (conf 1.0 → all kept;
+#              reading order over the 2×20 grid = line index order)
+#   layout 3 — passthrough re-sorted by (page_no, offset): page-0 lines,
+#              hidden overlay, path, then later pages' lines
+#   layout 1 — golden parquet (scripts/make_golden.py: pure-python corpus
+#              synthesis + local kernel, no Spark)
+SQL_EXTRACT_SEQUENCE = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m'), 1, 4) AS BIGINT) % 101 = 0
+              THEN string_split(repeat(text || ' ', 39) || text, ' ')
+              ELSE string_split(text, ' ') END AS w,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':l'), 1, 4) AS BIGINT) % 4 AS layout
+  FROM documents
+), sized AS (
+  SELECT doc_id, w, layout,
+         greatest(1, CAST(ceil(len(w) / 8.0) AS INT)) AS n_lines
+  FROM base
+), lines AS (
+  SELECT doc_id, layout, n_lines, CAST(t.i AS INT) AS i,
+         array_to_string(w[CAST(t.i*8+1 AS INT) : CAST(t.i*8+8 AS INT)], ' ') AS line_text
+  FROM sized, LATERAL unnest(range(0, n_lines)) AS t(i)
+), l0 AS (
+  SELECT doc_id, 'text' AS kind, line_text AS text, '' AS media_ref, i AS "offset"
+  FROM lines WHERE layout = 0
+), l2_media AS (
+  SELECT s.doc_id, 'media' AS kind, '' AS text,
+         'img-' || s.doc_id || '-' || CAST(t.p AS VARCHAR) AS media_ref,
+         CAST(t.p * 41 AS INT) AS "offset"
+  FROM sized s, LATERAL unnest(range(0, CAST(ceil(n_lines / 40.0) AS INT))) AS t(p)
+  WHERE layout = 2
+), l2_lines AS (
+  SELECT doc_id, 'ocr-text' AS kind, line_text AS text, '' AS media_ref,
+         CAST((i // 40) * 41 + 1 + (i % 40) AS INT) AS "offset"
+  FROM lines WHERE layout = 2 AND line_text <> ''
+), l3 AS (
+  SELECT doc_id, kind, text, media_ref, CAST(o AS INT) AS "offset" FROM (
+    SELECT doc_id, 'text' AS kind, line_text AS text, '' AS media_ref,
+           CASE WHEN i < 40 THEN i ELSE i + 2 END AS o
+    FROM lines WHERE layout = 3
+    UNION ALL
+    SELECT doc_id, 'ocr-text', 'hidden overlay', '', least(n_lines, 40)
+    FROM sized WHERE layout = 3
+    UNION ALL
+    SELECT doc_id, 'path', '', '', least(n_lines, 40) + 1
+    FROM sized WHERE layout = 3
+  )
+), l1 AS (
+  SELECT doc_id, kind, text, media_ref, "offset"
+  FROM read_parquet('{_golden_path("extract_layout1_sf0.01.parquet")}')
+)
+SELECT * FROM l0 UNION ALL SELECT * FROM l2_media UNION ALL
+SELECT * FROM l2_lines UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l1
+"""
+
+# Flagship metrics oracle: n_spans_in / n_pages from the regenerated corpus
+# arithmetic, n_spans_out by counting the expected-sequence union above.
+SQL_EXTRACT_FLAGSHIP = f"""
+WITH seq AS ({SQL_EXTRACT_SEQUENCE}),
+meta AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':l'), 1, 4) AS BIGINT) % 4 AS layout,
+         greatest(1, CAST(ceil(len(
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m'), 1, 4) AS BIGINT) % 101 = 0
+                THEN string_split(repeat(text || ' ', 39) || text, ' ')
+                ELSE string_split(text, ' ') END
+         ) / 8.0) AS INT)) AS n_lines
+  FROM documents
+)
+SELECT m.doc_id,
+       CAST(n_lines + CASE WHEN layout IN (1, 2) THEN CAST(ceil(n_lines / 40.0) AS INT)
+                           WHEN layout = 3 THEN 2 ELSE 0 END AS INT) AS n_spans_in,
+       CAST(c.n AS INT) AS n_spans_out,
+       CAST(ceil(n_lines / 40.0) AS INT) AS n_pages
+FROM meta m JOIN (SELECT doc_id, count(*) AS n FROM seq GROUP BY doc_id) c USING (doc_id)
+"""
+
+SQL_EXTRACT_AGGRESSIVE = f"""
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM read_parquet('{_golden_path("extract_aggressive_sf0.01.parquet")}')
+"""
+
+SQL_EXTRACT_WORDS = f"""
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM read_parquet('{_golden_path("extract_words_sf0.01.parquet")}')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1186,9 +1303,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "extract_flagship": (q_extract_flagship, None),
-    "extract_sequence": (q_extract_sequence, None),
-    "extract_words": (q_extract_words, None),
-    "extract_aggressive": (q_extract_aggressive, None),
+    "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
+    "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
+    "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),
+    "extract_aggressive": (q_extract_aggressive, SQL_EXTRACT_AGGRESSIVE),
     "dedup_clusters": (q_dedup_clusters, None),
 }

@@ -12,7 +12,9 @@ hash arithmetic — no UDF, no driver-side loop, no external data), so the
 same generator scales from sf0.001 to any corpus size. Everything is a
 pure function of (doc_id, text), hence deterministic.
 
-Layout classes (pmod(xxhash64(doc_id), 4)):
+Layout classes (pmod(md5-hash(doc_id || ':l'), 4) — all corpus hashing is
+the engine-portable md5-prefix arithmetic of ``_h`` so the extraction
+oracle can regenerate the corpus and its expected output in DuckDB):
   0 — born-digital single column ('text' lines, no media)
   1 — scanned two-column: full-page media + stale 'ocr-text' lines, the
       RIGHT column's lines defined before the left column's (the kernel
@@ -22,7 +24,7 @@ Layout classes (pmod(xxhash64(doc_id), 4)):
   3 — born-digital with a hidden 'ocr-text' overlay (aggressive-strategy
       food) + a 'path' span
 
-A small deterministic subset (pmod(xxhash64(doc_id), MEGA_MOD) == 0) gets
+A small deterministic subset (pmod(md5-hash(doc_id || ':m'), MEGA_MOD) == 0) gets
 its word list repeated MEGA_FACTOR× — multi-page "mega docs" driving the
 skew/salting path.
 """
@@ -80,11 +82,13 @@ def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
         d = d.withColumn(
             "words",
             F.when(
-                F.pmod(F.xxhash64("doc_id"), F.lit(MEGA_MOD)) == 0,
+                F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":m"))), F.lit(MEGA_MOD)) == 0,
                 F.flatten(F.array_repeat(F.col("words"), MEGA_FACTOR)),
             ).otherwise(F.col("words")),
         )
-    d = d.withColumn("layout", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
+    d = d.withColumn(
+        "layout", F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":l"))), F.lit(4)).cast("int")
+    )
     d = d.withColumn(
         "n_lines",
         F.greatest(F.lit(1), F.ceil(F.size("words") / F.lit(WORDS_PER_LINE))).cast("int"),
@@ -299,10 +303,17 @@ def _line_span(i: Column) -> Column:
     y0 = F.lit(40.0) + row.cast("double") * F.lit(LINE_HEIGHT + LINE_GAP)
     x0 = F.lit(40.0) + col_no.cast("double") * F.lit(290.0)
     # deterministic per-line width jitter and confidence from hashes
-    width = F.lit(200.0) + F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(60)).cast("double")
+    # (engine-portable md5 arithmetic — see _h — so the extraction oracle
+    # can regenerate the corpus in DuckDB)
+    istr = i.cast("string")
+    width = F.lit(200.0) + F.pmod(
+        _h(F.concat(F.col("doc_id"), F.lit(":w"), istr)), F.lit(60)
+    ).cast("double")
     conf = (
         F.lit(0.55)
-        + F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(7)), F.lit(45)).cast("double") / F.lit(100.0)
+        + F.pmod(
+            _h(F.concat(F.col("doc_id"), F.lit(":c"), istr)), F.lit(45)
+        ).cast("double") / F.lit(100.0)
     )
     scanned = F.col("layout") == 1
     kind = F.when(scanned, F.lit("ocr-text")).otherwise(F.lit("text"))
@@ -313,8 +324,12 @@ def _line_span(i: Column) -> Column:
     # (within the 25° snap window) so the derotation path (T5) runs on real
     # pipeline data, like Textract's slight-skew detections
     tilt = F.when(
-        scanned & (F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(13)), F.lit(11)) == 0),
-        (F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(17)), F.lit(9)).cast("double") - 4.0),
+        scanned
+        & (F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":t"), istr)), F.lit(11)) == 0),
+        (
+            F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":a"), istr)), F.lit(9)).cast("double")
+            - 4.0
+        ),
     ).otherwise(F.lit(0.0))
     return F.struct(
         kind.alias("kind"),
@@ -336,7 +351,7 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     functions/multimodal.media_table_schema(): one media row per document,
     payload = utf-8 text bytes (an opaque blob as far as the engine is
     concerned), format/kind/dims derived by hash arithmetic."""
-    h = F.xxhash64(F.col("doc_id").cast("string"))
+    h = _h(F.concat(F.col("doc_id").cast("string"), F.lit(":media")), width=8)
     kind = (
         F.when(F.pmod(h, F.lit(3)) == 0, F.lit("image"))
         .when(F.pmod(h, F.lit(3)) == 1, F.lit("audio"))

@@ -250,3 +250,39 @@ def test_word_corpus_layout_detection(spark, sf_dir):
         assert [t for t, _, _ in grouped] == expected_lines, row.doc_id
         checked += 1
     assert checked >= 5
+
+
+def test_python_corpus_twin_matches_spark(spark, sf_dir):
+    """scripts/make_golden.py synthesizes the corpus in pure Python to keep
+    the golden oracles independent of Spark; any drift between the twin and
+    the Spark expressions must fail HERE (field-exact, floats included),
+    not as an opaque oracle mismatch."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "make_golden",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "make_golden.py"),
+    )
+    mg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mg)
+
+    from swissgeol_ocr_spark.sources.corpus import documents_to_word_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    texts = {str(r.doc_id): r.text for r in docs.collect()}
+
+    for name, frame, twin in (
+        ("line", documents_to_spans(docs), mg.synth_spans),
+        ("word", documents_to_word_spans(docs), mg.synth_word_spans),
+    ):
+        for row in frame.collect():
+            expected = twin(row.doc_id, texts[row.doc_id])
+            got = [
+                (s.kind, s.text, s.media_ref, s.page_no,
+                 (s.x0, s.y0, s.x1, s.y1), s.confidence, s.orientation)
+                for s in row.spans
+            ]
+            assert got == expected, (name, row.doc_id)
+            assert [s.offset for s in row.spans] == list(range(len(expected)))
