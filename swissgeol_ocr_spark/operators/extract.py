@@ -61,6 +61,46 @@ from swissgeol_ocr_spark.plans.config import ExtractConfig
 OutSpan = tuple[str, str, str, int]  # (kind, text, media_ref, offset)
 
 
+def salvage_document_inputs(
+    kinds, texts, media_refs, offsets, page_nos, rects, confidences, orientations
+):
+    """P2 corrupt-input salvage (reference ocr/__init__.py:40-57 error
+    handling + preprocess/preprocess_doc.py:8-49 page-tree repair): a
+    best-effort normalization of a malformed span row so extraction can be
+    RETRIED instead of quarantining the document — at 10^12 docs, repair
+    beats drop. Repairs applied:
+
+    * null kind/text/media strings → ''          (missing tree nodes)
+    * non-finite geometry → 0.0; inverted rect corners swapped
+    * non-finite / out-of-range confidence → clipped to [0, 1]
+    * non-finite orientation → 0.0
+    * null / non-finite / negative page numbers and offsets → 0
+
+    Pure-python + numpy, no Spark; called by the Arrow kernel driver on
+    exception (zero cost for healthy documents) and usable proactively."""
+    kinds = ["" if k is None else k for k in kinds]
+    texts = ["" if t is None else t for t in texts]
+    media_refs = ["" if m is None else m for m in media_refs]
+
+    def _ints(a):
+        a = np.asarray(a, dtype=np.float64)
+        return np.maximum(np.where(np.isfinite(a), a, 0.0), 0.0).astype(np.int64)
+
+    offsets = _ints(offsets)
+    page_nos = _ints(page_nos)
+    rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    rects = np.where(np.isfinite(rects), rects, 0.0)
+    rects = np.concatenate(
+        [np.minimum(rects[:, 0:2], rects[:, 2:4]), np.maximum(rects[:, 0:2], rects[:, 2:4])],
+        axis=1,
+    )
+    confidences = np.asarray(confidences, dtype=np.float64)
+    confidences = np.clip(np.where(np.isfinite(confidences), confidences, 0.0), 0.0, 1.0)
+    orientations = np.asarray(orientations, dtype=np.float64)
+    orientations = np.where(np.isfinite(orientations), orientations, 0.0)
+    return kinds, texts, media_refs, offsets, page_nos, rects, confidences, orientations
+
+
 def extract_document(
     kinds: list[str],
     texts: list[str],

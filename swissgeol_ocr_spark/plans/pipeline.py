@@ -25,7 +25,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from swissgeol_ocr_spark.operators.extract import extract_document
+from swissgeol_ocr_spark.operators.extract import (
+    extract_document,
+    salvage_document_inputs,
+)
 from swissgeol_ocr_spark.plans.config import ExtractConfig
 
 OUT_SCHEMA = (
@@ -151,12 +154,23 @@ def _extract_batches(
                     config,
                 )
                 statuses.append("ok")
-            except Exception as exc:  # poison row → quarantine, keep the job alive
-                # (reference analogue: error-class-specific skip, SURVEY §4;
-                # the row is preserved with an empty output + error status so
-                # the metrics table records it and resume won't retry forever)
-                result = []
-                statuses.append(f"error:{type(exc).__name__}")
+            except Exception as exc:
+                # P2 salvage-then-quarantine (reference __init__.py:40-57 +
+                # preprocess_doc.py:8-49): normalize the malformed row and
+                # retry once; only an unrecoverable row is quarantined with
+                # empty output + error status, so the metrics table records
+                # it and resume won't retry forever
+                try:
+                    repaired = salvage_document_inputs(
+                        kinds_all[lo:hi], texts_all[lo:hi], media_all[lo:hi],
+                        off_all[lo:hi], page_all[lo:hi], rect_all[lo:hi],
+                        conf_all[lo:hi], orient_all[lo:hi],
+                    )
+                    result = extract_document(*repaired, config)
+                    statuses.append("salvaged")
+                except Exception:
+                    result = []
+                    statuses.append(f"error:{type(exc).__name__}")
             out_ids.append(doc_ids[row].as_py())
             for (k, t, m, o) in result:
                 flat_kind.append(k)
@@ -383,7 +397,8 @@ def extract_pipeline(
             F.flatten(F.transform("pages", lambda p: p["spans_out"])).alias("flat"),
             F.aggregate("pages", F.lit(0), lambda a, p: a + p["n_spans_in"]).alias("n_spans_in"),
             F.size("pages").cast("int").alias("n_pages"),
-            F.filter("pages", lambda p: p["status"] != "ok").alias("_errs"),
+            F.filter("pages", lambda p: p["status"].startswith("error")).alias("_errs"),
+            F.filter("pages", lambda p: p["status"] == "salvaged").alias("_salv"),
             "partition_id",
         )
         .select(
@@ -400,8 +415,11 @@ def extract_pipeline(
             "n_spans_in",
             F.size("flat").cast("int").alias("n_spans_out"),
             "n_pages",
-            F.when(F.size("_errs") == 0, F.lit("ok"))
-            .otherwise(F.element_at("_errs", 1)["status"])
+            # error dominates salvaged dominates ok (a salvaged page must
+            # not mask another page's quarantine)
+            F.when(F.size("_errs") > 0, F.element_at("_errs", 1)["status"])
+            .when(F.size("_salv") > 0, F.lit("salvaged"))
+            .otherwise(F.lit("ok"))
             .alias("status"),
             "partition_id",
         )
@@ -476,12 +494,16 @@ def write_output(
         committed.agg(
             F.count("*").alias("n_docs"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_quarantined"),
+            F.sum(F.when(F.col("status") == "salvaged", 1).otherwise(0)).alias("n_salvaged"),
+            F.sum(F.when(F.col("status").startswith("error"), 1).otherwise(0)).alias(
+                "n_quarantined"
+            ),
             F.sum("n_spans_out").alias("n_spans_out"),
         ).select(
             F.lit(run_id).alias("run_id"),
             "n_docs",
             "n_ok",
+            "n_salvaged",
             "n_quarantined",
             "n_spans_out",
             F.current_timestamp().alias("committed_at"),

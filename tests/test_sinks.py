@@ -135,3 +135,75 @@ def test_submit_script_end_to_end(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", argv2)
     submit_extract.main()
     assert spark.read.parquet(out_path).count() == 10
+
+
+def test_salvage_normalizes_malformed_inputs():
+    """P2 salvage repair semantics: null strings -> '', non-finite geometry
+    -> 0 with inverted corners swapped, confidence clipped to [0,1],
+    null/negative page numbers -> 0."""
+    import numpy as np
+
+    from swissgeol_ocr_spark.operators.extract import salvage_document_inputs
+
+    kinds, texts, media, offs, pages, rects, confs, orients = salvage_document_inputs(
+        ["text", None],
+        [None, "w"],
+        ["", None],
+        [0, None],
+        [None, -3],
+        np.array([[100.0, 20.0, 10.0, float("nan")], [0.0, 0.0, 1.0, 1.0]]),
+        np.array([float("nan"), 1.5]),
+        np.array([float("inf"), 0.0]),
+    )
+    assert kinds == ["text", ""] and texts == ["", "w"] and media == ["", ""]
+    assert offs.tolist() == [0, 0] and pages.tolist() == [0, 0]
+    assert rects[0].tolist() == [10.0, 0.0, 100.0, 20.0]  # swapped + definite
+    assert confs.tolist() == [0.0, 1.0] and orients.tolist() == [0.0, 0.0]
+
+
+def test_salvage_retries_failed_kernel(monkeypatch):
+    """A document whose kernel raises is salvaged + retried; only a row
+    that still raises after repair is quarantined (the test above pins the
+    repair itself; POISON here raises on BOTH attempts, FLAKY only when the
+    text has not been nulled out by the repair pass)."""
+    import pyarrow as pa
+
+    from swissgeol_ocr_spark.plans import pipeline as pl
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+
+    real = pl.extract_document
+
+    def poisoned(kinds, texts, *args, **kwargs):
+        if texts and texts[0] == "POISON":
+            raise ValueError("boom")
+        if texts and texts[0] is None:
+            raise ValueError("null text")  # repaired to '' by salvage
+        return real(kinds, texts, *args, **kwargs)
+
+    monkeypatch.setattr(pl, "extract_document", poisoned)
+
+    in_type = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()),
+             ("offset", pa.int32()), ("page_no", pa.int32()), ("x0", pa.float64()),
+             ("y0", pa.float64()), ("x1", pa.float64()), ("y1", pa.float64()),
+             ("confidence", pa.float64()), ("orientation", pa.float64())]
+        )
+    )
+
+    def span(text):
+        return {"kind": "text", "text": text, "media_ref": "", "offset": 0,
+                "page_no": 0, "x0": 10.0, "y0": 10.0, "x1": 100.0, "y1": 20.0,
+                "confidence": 1.0, "orientation": 0.0}
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["dead", "flaky", "ok"]),
+         pa.array([[span("POISON")], [span(None)], [span("fine")]], type=in_type)],
+        names=["doc_id", "spans"],
+    )
+    out = list(pl._extract_batches(iter([batch]), ExtractConfig()))[0]
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows["ok"]["status"] == "ok"
+    assert rows["dead"]["status"] == "error:ValueError"
+    assert rows["flaky"]["status"] == "salvaged"
+    assert rows["flaky"]["n_spans_out"] == 1  # repaired row still extracted
