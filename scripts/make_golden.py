@@ -62,6 +62,13 @@ def h16(key: str) -> int:
     return int(hashlib.md5(key.encode()).hexdigest()[:4], 16)
 
 
+def hslices(key: str, *starts: int) -> tuple[int, ...]:
+    """4-nibble slices of one md5 digest (1-based starts) — mirrors
+    corpus._hslice over a single materialized per-element digest."""
+    d = hashlib.md5(key.encode()).hexdigest()
+    return tuple(int(d[s - 1:s + 3], 16) for s in starts)
+
+
 def mega_words(doc_id: str, text: str) -> list[str]:
     words = text.split(" ")
     if h16(f"{doc_id}:m") % MEGA_MOD == 0:
@@ -91,13 +98,10 @@ def synth_spans(doc_id: str, text: str):
         row = local - half * (LINES_PER_PAGE // 2)
         y0 = 40.0 + float(row) * (LINE_HEIGHT + LINE_GAP)
         x0 = 40.0 + float(col_no) * 290.0
-        width = 200.0 + float(h16(f"{doc_id}:w{i}") % 60)
-        conf = 0.55 + float(h16(f"{doc_id}:c{i}") % 45) / 100.0 if scanned else 1.0
-        tilt = (
-            float(h16(f"{doc_id}:a{i}") % 9) - 4.0
-            if scanned and h16(f"{doc_id}:t{i}") % 11 == 0
-            else 0.0
-        )
+        hw, hc, ht, ha = hslices(f"{doc_id}:{i}", 1, 5, 9, 13)
+        width = 200.0 + float(hw % 60)
+        conf = 0.55 + float(hc % 45) / 100.0 if scanned else 1.0
+        tilt = float(ha % 9) - 4.0 if scanned and ht % 11 == 0 else 0.0
         line_spans.append(
             ("ocr-text" if scanned else "text",
              " ".join(words[i * WORDS_PER_LINE:(i + 1) * WORDS_PER_LINE]),
@@ -130,9 +134,10 @@ def synth_word_spans(doc_id: str, text: str):
         row = line - page * LINES_PER_PAGE
         y0 = 40.0 + float(row) * (LINE_HEIGHT + LINE_GAP)
         x0 = 40.0 + float(k) * WORD_STEP
-        glued = h16(f"{doc_id}:g{j}") % 7 == 0 and k < WORDS_PER_LINE - 1
+        hg, hc = hslices(f"{doc_id}:wd{j}", 1, 5)
+        glued = hg % 7 == 0 and k < WORDS_PER_LINE - 1
         width = WORD_STEP if glued else WORD_W
-        conf = 0.55 + float(h16(f"{doc_id}:c{j}") % 45) / 100.0
+        conf = 0.55 + float(hc % 45) / 100.0
         spans.append(
             ("ocr-text", word, "", page, (x0, y0, x0 + width, y0 + LINE_HEIGHT), conf, 0.0)
         )

@@ -95,10 +95,15 @@ def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
     )
     d = d.withColumn("n_pages", (F.ceil(F.col("n_lines") / F.lit(LINES_PER_PAGE))).cast("int"))
 
-    line_spans = F.transform(
+    # ONE md5 per line, materialized as an array element first: expressions
+    # referenced inside transform() lambdas re-evaluate per use (no CSE in
+    # higher-order functions), so width/conf/tilt all slice nibble ranges of
+    # this single digest instead of hashing 3-4 times
+    line_digests = F.transform(
         F.sequence(F.lit(0), F.col("n_lines") - 1),
-        lambda i: _line_span(i),
+        lambda i: F.md5(F.concat(F.col("doc_id"), F.lit(":"), i.cast("string"))),
     )
+    line_spans = F.transform(line_digests, lambda dg, i: _line_span(i, dg))
     media_spans = F.transform(
         F.sequence(F.lit(0), F.col("n_pages") - 1),
         lambda p: _media_span(p),
@@ -237,9 +242,11 @@ def documents_to_word_spans(docs: DataFrame, mega_docs: bool = True) -> DataFram
             F.ceil(F.col("n_words") / F.lit(WORDS_PER_LINE * LINES_PER_PAGE)),
         ).cast("int"),
     )
-    word_spans = F.transform(
-        F.sequence(F.lit(0), F.col("n_words") - 1), lambda j: _word_span(j)
+    word_digests = F.transform(
+        F.sequence(F.lit(0), F.col("n_words") - 1),
+        lambda j: F.md5(F.concat(F.col("doc_id"), F.lit(":wd"), j.cast("string"))),
     )
+    word_spans = F.transform(word_digests, lambda dg, j: _word_span(j, dg))
     media_spans = F.transform(
         F.sequence(F.lit(0), F.col("n_pages") - 1), lambda p: _media_span(p)
     )
@@ -252,24 +259,18 @@ def documents_to_word_spans(docs: DataFrame, mega_docs: bool = True) -> DataFram
     )
 
 
-def _word_span(j: Column) -> Column:
+def _word_span(j: Column, dg: Column) -> Column:
+    """One word span from the word index and its materialized md5 digest
+    (nibbles 1-4 glued-select, 5-8 confidence)."""
     line = (j / F.lit(WORDS_PER_LINE)).cast("int")
     k = j - line * F.lit(WORDS_PER_LINE)
     page = (line / F.lit(LINES_PER_PAGE)).cast("int")
     row = line - page * F.lit(LINES_PER_PAGE)
     y0 = F.lit(40.0) + row.cast("double") * F.lit(LINE_HEIGHT + LINE_GAP)
     x0 = F.lit(40.0) + k.cast("double") * F.lit(WORD_STEP)
-    glued = (
-        F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":g"), j.cast("string"))), F.lit(7)) == 0
-    ) & (k < F.lit(WORDS_PER_LINE - 1))
+    glued = (F.pmod(_hslice(dg, 1), F.lit(7)) == 0) & (k < F.lit(WORDS_PER_LINE - 1))
     width = F.when(glued, F.lit(WORD_STEP)).otherwise(F.lit(WORD_W))
-    conf = (
-        F.lit(0.55)
-        + F.pmod(
-            _h(F.concat(F.col("doc_id"), F.lit(":c"), j.cast("string"))), F.lit(45)
-        ).cast("double")
-        / F.lit(100.0)
-    )
+    conf = F.lit(0.55) + F.pmod(_hslice(dg, 5), F.lit(45)).cast("double") / F.lit(100.0)
     return F.struct(
         F.lit("ocr-text").alias("kind"),
         F.element_at(F.col("words"), j + 1).alias("text"),
@@ -285,8 +286,16 @@ def _word_span(j: Column) -> Column:
     )
 
 
-def _line_span(i: Column) -> Column:
-    """One text line span as a function of the line index.
+def _hslice(dg: Column, start: int) -> Column:
+    """4 hex nibbles of a materialized md5 digest as an int (1-based start).
+    DuckDB twin: CAST('0x' || substr(dg, start, 4) AS BIGINT)."""
+    return F.conv(F.substring(dg, start, 4), 16, 10).cast("bigint")
+
+
+def _line_span(i: Column, dg: Column) -> Column:
+    """One text line span as a function of the line index and the line's
+    materialized md5 digest (nibbles 1-4 width, 5-8 confidence, 9-12 tilt
+    select, 13-16 tilt angle — engine-portable, see ``_h``).
 
     Two-column layout per page: even pages left-column-first; line i of a
     page goes to column (local_i * 2 // LINES_PER_PAGE) — for scanned docs
@@ -302,19 +311,8 @@ def _line_span(i: Column) -> Column:
     row = local - half * F.lit(LINES_PER_PAGE // 2)
     y0 = F.lit(40.0) + row.cast("double") * F.lit(LINE_HEIGHT + LINE_GAP)
     x0 = F.lit(40.0) + col_no.cast("double") * F.lit(290.0)
-    # deterministic per-line width jitter and confidence from hashes
-    # (engine-portable md5 arithmetic — see _h — so the extraction oracle
-    # can regenerate the corpus in DuckDB)
-    istr = i.cast("string")
-    width = F.lit(200.0) + F.pmod(
-        _h(F.concat(F.col("doc_id"), F.lit(":w"), istr)), F.lit(60)
-    ).cast("double")
-    conf = (
-        F.lit(0.55)
-        + F.pmod(
-            _h(F.concat(F.col("doc_id"), F.lit(":c"), istr)), F.lit(45)
-        ).cast("double") / F.lit(100.0)
-    )
+    width = F.lit(200.0) + F.pmod(_hslice(dg, 1), F.lit(60)).cast("double")
+    conf = F.lit(0.55) + F.pmod(_hslice(dg, 5), F.lit(45)).cast("double") / F.lit(100.0)
     scanned = F.col("layout") == 1
     kind = F.when(scanned, F.lit("ocr-text")).otherwise(F.lit("text"))
     text = F.array_join(
@@ -324,12 +322,8 @@ def _line_span(i: Column) -> Column:
     # (within the 25° snap window) so the derotation path (T5) runs on real
     # pipeline data, like Textract's slight-skew detections
     tilt = F.when(
-        scanned
-        & (F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":t"), istr)), F.lit(11)) == 0),
-        (
-            F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":a"), istr)), F.lit(9)).cast("double")
-            - 4.0
-        ),
+        scanned & (F.pmod(_hslice(dg, 9), F.lit(11)) == 0),
+        (F.pmod(_hslice(dg, 13), F.lit(9)).cast("double") - 4.0),
     ).otherwise(F.lit(0.0))
     return F.struct(
         kind.alias("kind"),

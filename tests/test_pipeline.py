@@ -243,7 +243,10 @@ def test_word_corpus_layout_detection(spark, sf_dir):
                 j = li * WORDS_PER_LINE + k
                 parts.append(w)
                 if k < len(seg) - 1:
-                    glued = (h16(f"{row.doc_id}:g{j}") % 7 == 0) and k < WORDS_PER_LINE - 1
+                    glued = (
+                        int(hashlib.md5(f"{row.doc_id}:wd{j}".encode()).hexdigest()[:4], 16) % 7 == 0
+                        and k < WORDS_PER_LINE - 1
+                    )
                     if not glued:
                         parts.append(" ")
             expected_lines.append("".join(parts))
