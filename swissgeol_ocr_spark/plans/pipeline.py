@@ -100,7 +100,17 @@ def _extract_batches(
     batches: Iterator[pa.RecordBatch], config: ExtractConfig
 ) -> Iterator[pa.RecordBatch]:
     """Arrow-native kernel driver: per batch, slice zero-copy numpy views of
-    the geometry columns and run the per-document kernel on each slice."""
+    the geometry columns and run the per-document kernel on each slice.
+
+    Born-digital fast path, Arrow-native: a no-media document's output is
+    its spans re-ordered by (page_no, offset, position) — a pure gather.
+    Those documents never materialize Python strings at all: the
+    permutation is computed in numpy and the output children are built
+    with ONE ``pa.compute.take`` per column over the whole batch. Only
+    media-bearing documents pay the per-document pylist slices + kernel."""
+    import pyarrow.compute as pc
+
+    aggressive = config.use_aggressive_strategy
     for batch in batches:
         if batch.num_rows == 0:
             continue
@@ -111,46 +121,70 @@ def _extract_batches(
         # numeric children become zero-copy numpy views
         offsets = spans.offsets.to_numpy(zero_copy_only=False)
         struct = spans.values
-        kinds_all = struct.field("kind").to_pylist()
-        texts_all = struct.field("text").to_pylist()
-        media_all = struct.field("media_ref").to_pylist()
+        kind_field = struct.field("kind")
+        text_field = struct.field("text")
+        media_field = struct.field("media_ref")
+        media_mask = pc.fill_null(
+            pc.equal(kind_field, "media"), False
+        ).to_numpy(zero_copy_only=False)
         off_all = struct.field("offset").to_numpy(zero_copy_only=False)
         page_all = struct.field("page_no").to_numpy(zero_copy_only=False)
-        rect_all = np.stack(
-            [
-                struct.field("x0").to_numpy(zero_copy_only=False),
-                struct.field("y0").to_numpy(zero_copy_only=False),
-                struct.field("x1").to_numpy(zero_copy_only=False),
-                struct.field("y1").to_numpy(zero_copy_only=False),
-            ],
-            axis=1,
-        )
-        conf_all = struct.field("confidence").to_numpy(zero_copy_only=False)
-        orient_all = struct.field("orientation").to_numpy(zero_copy_only=False)
+        rect_all = None  # built lazily — passthrough-only batches never need it
+        conf_all = struct.field("confidence")
+        orient_all = struct.field("orientation")
 
+        def _pylists(lo: int, hi: int):
+            return (
+                kind_field[lo:hi].to_pylist(),
+                text_field[lo:hi].to_pylist(),
+                media_field[lo:hi].to_pylist(),
+            )
+
+        # kernel-docs accumulator (flat children + list offsets, no per-span
+        # dict objects)
         out_ids: list[str] = []
         n_in: list[int] = []
         n_pages: list[int] = []
-        # flat Arrow-native output construction (no per-span dict objects):
-        # four child columns + list offsets
         flat_kind: list[str] = []
         flat_text: list[str] = []
         flat_media: list[str] = []
         flat_off: list[int] = []
         list_offsets: list[int] = [0]
         statuses: list[str] = []
+        # passthrough-docs accumulator (gather indices into struct children)
+        pt_ids: list[str] = []
+        pt_perms: list[np.ndarray] = []
+        pt_counts: list[int] = []
+        pt_pages: list[int] = []
+
         for row in range(batch.num_rows):
             lo, hi = int(offsets[row]), int(offsets[row + 1])
+            if not aggressive and not media_mask[lo:hi].any():
+                # fast path: identical ordering to extract_document's
+                # lexsort (stable → position breaks (page, offset) ties)
+                pt_ids.append(doc_ids[row].as_py())
+                pt_perms.append(lo + np.lexsort((off_all[lo:hi], page_all[lo:hi])))
+                pt_counts.append(hi - lo)
+                pt_pages.append(int(np.unique(page_all[lo:hi]).size) if hi > lo else 0)
+                continue
+            if rect_all is None:
+                rect_all = np.stack(
+                    [
+                        struct.field("x0").to_numpy(zero_copy_only=False),
+                        struct.field("y0").to_numpy(zero_copy_only=False),
+                        struct.field("x1").to_numpy(zero_copy_only=False),
+                        struct.field("y1").to_numpy(zero_copy_only=False),
+                    ],
+                    axis=1,
+                )
+                conf_all = conf_all.to_numpy(zero_copy_only=False)
+                orient_all = orient_all.to_numpy(zero_copy_only=False)
+            kinds, texts, medias = _pylists(lo, hi)
             try:
                 result = extract_document(
-                    kinds_all[lo:hi],
-                    texts_all[lo:hi],
-                    media_all[lo:hi],
-                    off_all[lo:hi],
-                    page_all[lo:hi],
-                    rect_all[lo:hi],
-                    conf_all[lo:hi],
-                    orient_all[lo:hi],
+                    kinds, texts, medias,
+                    off_all[lo:hi], page_all[lo:hi], rect_all[lo:hi],
+                    conf_all[lo:hi], orient_all[lo:hi],
                     config,
                 )
                 statuses.append("ok")
@@ -162,7 +196,7 @@ def _extract_batches(
                 # it and resume won't retry forever
                 try:
                     repaired = salvage_document_inputs(
-                        kinds_all[lo:hi], texts_all[lo:hi], media_all[lo:hi],
+                        kinds, texts, medias,
                         off_all[lo:hi], page_all[lo:hi], rect_all[lo:hi],
                         conf_all[lo:hi], orient_all[lo:hi],
                     )
@@ -181,30 +215,66 @@ def _extract_batches(
             n_in.append(hi - lo)
             n_pages.append(int(np.unique(page_all[lo:hi]).size) if hi > lo else 0)
 
-        struct_arr = pa.StructArray.from_arrays(
-            [
-                pa.array(flat_kind, type=pa.string()),
-                pa.array(flat_text, type=pa.string()),
-                pa.array(flat_media, type=pa.string()),
-                pa.array(flat_off, type=pa.int32()),
-            ],
-            names=["kind", "text", "media_ref", "offset"],
-        )
-        spans_out = pa.ListArray.from_arrays(
-            pa.array(list_offsets, type=pa.int32()), struct_arr
-        )
-        n_out = np.diff(np.asarray(list_offsets, dtype=np.int64))
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(out_ids, type=pa.string()),
-                spans_out.cast(_OUT_ARROW.field("spans_out").type),
-                pa.array(n_in, type=pa.int32()),
-                pa.array(n_out, type=pa.int32()),
-                pa.array(n_pages, type=pa.int32()),
-                pa.array(statuses, type=pa.string()),
-            ],
-            schema=_OUT_ARROW,
-        )
+        if out_ids:
+            struct_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array(flat_kind, type=pa.string()),
+                    pa.array(flat_text, type=pa.string()),
+                    pa.array(flat_media, type=pa.string()),
+                    pa.array(flat_off, type=pa.int32()),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(list_offsets, type=pa.int32()), struct_arr
+            )
+            n_out = np.diff(np.asarray(list_offsets, dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.string()),
+                    spans_out.cast(_OUT_ARROW.field("spans_out").type),
+                    pa.array(n_in, type=pa.int32()),
+                    pa.array(n_out, type=pa.int32()),
+                    pa.array(n_pages, type=pa.int32()),
+                    pa.array(statuses, type=pa.string()),
+                ],
+                schema=_OUT_ARROW,
+            )
+        if pt_ids:
+            take_idx = pa.array(
+                np.concatenate(pt_perms) if pt_perms else np.empty(0, np.int64)
+            )
+            counts = np.asarray(pt_counts, dtype=np.int64)
+            off_child = pa.array(
+                np.concatenate([np.arange(c) for c in counts])
+                if counts.size else np.empty(0, np.int64),
+                type=pa.int32(),
+            )
+            pt_struct = pa.StructArray.from_arrays(
+                [
+                    pc.take(kind_field, take_idx),
+                    pc.take(text_field, take_idx),
+                    pc.take(media_field, take_idx),
+                    off_child,
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            pt_list_offsets = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(counts)]
+            ).astype(np.int32)
+            pt_spans = pa.ListArray.from_arrays(pa.array(pt_list_offsets), pt_struct)
+            counts32 = pa.array(counts, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pt_ids, type=pa.string()),
+                    pt_spans.cast(_OUT_ARROW.field("spans_out").type),
+                    counts32,
+                    counts32,
+                    pa.array(pt_pages, type=pa.int32()),
+                    pa.array(["ok"] * len(pt_ids), type=pa.string()),
+                ],
+                schema=_OUT_ARROW,
+            )
 
 
 def jvm_passthrough(df: DataFrame) -> DataFrame:

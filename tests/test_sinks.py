@@ -87,7 +87,9 @@ def test_quarantine_poison_row(monkeypatch):
          pa.array([[span("hello")], [span("POISON")], [span("world")]], type=in_type)],
         names=["doc_id", "spans"],
     )
-    out = list(pl._extract_batches(iter([batch]), ExtractConfig()))[0]
+    # aggressive strategy: every doc goes through the kernel (the
+    # non-aggressive no-media fast path would bypass the poisoned kernel)
+    out = list(pl._extract_batches(iter([batch]), ExtractConfig(use_aggressive_strategy=True)))[0]
     rows = {r["doc_id"]: r for r in out.to_pylist()}
     assert rows["good"]["status"] == "ok" and rows["good"]["n_spans_out"] == 1
     assert rows["good2"]["status"] == "ok"
@@ -201,7 +203,8 @@ def test_salvage_retries_failed_kernel(monkeypatch):
          pa.array([[span("POISON")], [span(None)], [span("fine")]], type=in_type)],
         names=["doc_id", "spans"],
     )
-    out = list(pl._extract_batches(iter([batch]), ExtractConfig()))[0]
+    # aggressive: force the kernel path (see test_quarantine_poison_row)
+    out = list(pl._extract_batches(iter([batch]), ExtractConfig(use_aggressive_strategy=True)))[0]
     rows = {r["doc_id"]: r for r in out.to_pylist()}
     assert rows["ok"]["status"] == "ok"
     assert rows["dead"]["status"] == "error:ValueError"
