@@ -219,11 +219,14 @@ def main_scaling() -> None:
             "| procs | per-proc docs/s | per-core efficiency vs 2 procs |\n"
             "|---|---|---|\n"
             "| 2 | 927 | 1.00 |\n| 8 | 797 | 0.86 |\n| 32 | 622 | 0.67 |\n\n"
-            "The Spark pipeline reaches ~100% of the 2-proc ceiling at 2 cores,\n"
-            "~80% at 8 and ~78% at 32 — most of the 8→32 falloff is the box's\n"
-            "shared memory subsystem, not the pipeline. On a real cluster, 4N\n"
-            "executors bring 4× the memory channels; the 2→8 pair is the\n"
-            "faithful N→4N stand-in.\n\n"
+            f"This run: {r2['docs_per_sec'] / 2:.0f} docs/s/core at 2 cores, "
+            f"{r8['docs_per_sec'] / 8:.0f} at 8, {r32['docs_per_sec'] / 32:.0f} at 32\n"
+            "(read against the control row for the same K). Most of the 8→32\n"
+            "falloff is the box's shared memory subsystem, not the pipeline;\n"
+            "absolute throughput on this shared host also drifts ±30% across\n"
+            "hours, which is why the ratio comes from interleaved passes. On a\n"
+            "real cluster, 4N executors bring 4× the memory channels; the 2→8\n"
+            "pair is the faithful N→4N stand-in.\n\n"
             "Span-equality: the pipeline output is validated span-for-span\n"
             "against the local kernel (tests/test_pipeline.py::"
             "test_pipeline_matches_local_kernel)\nand the kernels against the "
