@@ -20,11 +20,13 @@ def entry(spark: SparkSession) -> DataFrame:
     T5→R1-R6→C5/C6→ordered emission); returns one row per document with
     its ordered output span sequence."""
     from swissgeol_ocr_spark.plans.pipeline import configure_spark, extract_pipeline
+    from swissgeol_ocr_spark.plans.queries import _mega_hint
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
 
     configure_spark(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    return extract_pipeline(documents_to_spans(docs))
+    spans = documents_to_spans(docs)
+    return extract_pipeline(spans, has_mega=_mega_hint(spans))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -29,6 +29,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 HEADLINE = [
     "extract_flagship",
+    "extract_words",
     "c5_confidence_filter",
     "agg_block_stats",
     "join_broadcast_dim",
@@ -98,6 +99,12 @@ def extraction_docs_per_sec(
     )
     spans = spans.persist()
     n_docs = spans.count()  # materialize corpus before timing
+    # table-stats lookup (free from Iceberg column max at real scale; one
+    # cached int-column agg here) — drops the mega-split subtree when no
+    # document exceeds the cutoff, keeps it when one does
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+    max_spans = spans.agg(F.max("n_spans")).first()[0]
+    has_mega = bool(max_spans and max_spans > ExtractConfig().mega_doc_span_cutoff)
     # warmup: spin up every Python worker (one task per partition, so the
     # one-time interpreter+import cost doesn't pollute the measurement)
     extract_pipeline(spans.limit(32 * cores), repartition=True).agg(
@@ -110,7 +117,7 @@ def extraction_docs_per_sec(
     elapsed = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = extract_pipeline(spans, repartition=False)
+        out = extract_pipeline(spans, repartition=False, has_mega=has_mega)
         # summing output span counts forces full kernel execution per doc
         out.agg(F.sum("n_spans_out")).collect()
         elapsed = min(elapsed, time.perf_counter() - t0)

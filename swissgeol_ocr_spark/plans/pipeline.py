@@ -372,12 +372,18 @@ def extract_pipeline(
         sized = spans_df.withColumnRenamed("n_spans", "_n")
     else:
         sized = spans_df.withColumn("_n", F.size("spans"))
+    # NULL size (null spans array / null hint) must not drop the row from
+    # both sides of the small/big split — treat it as an empty document
+    sized = sized.withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
 
     hint_cols = [c for c in ("has_media",) if c in sized.columns]
     if "has_media" in sized.columns:
         media_pred = F.col("has_media")
     else:
         media_pred = F.exists("spans", lambda s: s["kind"] == F.lit("media"))
+    # a NULL spans array (or hint) must not vanish from the split: route it
+    # to the kernel branch, whose Arrow driver preserves it as an empty doc
+    media_pred = F.coalesce(media_pred, F.lit(True))
 
     def run_kernel(df: DataFrame, do_shuffle: bool | None = None) -> DataFrame:
         # The explicit hash(doc_id) repartition (north rule) evens out the

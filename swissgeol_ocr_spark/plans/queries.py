@@ -1096,7 +1096,8 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = extract_pipeline(documents_to_spans(docs))
+    spans = documents_to_spans(docs)
+    out = extract_pipeline(spans, has_mega=_mega_hint(spans))
     return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages")
 
 
@@ -1110,8 +1111,9 @@ def q_extract_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = documents_to_spans(docs)
     out = extract_pipeline(
-        documents_to_spans(docs), ExtractConfig(use_aggressive_strategy=True)
+        spans, ExtractConfig(use_aggressive_strategy=True), has_mega=_mega_hint(spans)
     )
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
@@ -1134,8 +1136,9 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swissgeol_ocr_spark.sources.corpus import documents_to_word_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = documents_to_word_spans(docs)
     out = extract_pipeline(
-        documents_to_word_spans(docs), ExtractConfig(build_lines_from_words=True)
+        spans, ExtractConfig(build_lines_from_words=True), has_mega=_mega_hint(spans)
     )
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
@@ -1160,7 +1163,8 @@ def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = extract_pipeline(documents_to_spans(docs))
+    spans = documents_to_spans(docs)
+    out = extract_pipeline(spans, has_mega=_mega_hint(spans))
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
@@ -1168,6 +1172,16 @@ def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
+
+
+def _mega_hint(spans_df: DataFrame, cutoff: int = 20_000) -> bool:
+    """Table-stats lookup for extract_pipeline's ``has_mega`` hint: on an
+    Iceberg table this is a free column-max read; here it is one cheap agg
+    over the materialized ``n_spans`` hint column (never the spans structs).
+    Passing the result drops (False) or keeps (True) the page-split salting
+    subtree instead of building both branches."""
+    row = spans_df.agg(F.max("n_spans")).first()
+    return bool(row[0] is not None and row[0] > cutoff)
 
 
 def _golden_path(name: str) -> str:

@@ -289,3 +289,43 @@ def test_python_corpus_twin_matches_spark(spark, sf_dir):
             ]
             assert got == expected, (name, row.doc_id)
             assert [s.offset for s in row.spans] == list(range(len(expected)))
+
+
+def test_passthrough_adversarial_differential(spark):
+    """JVM passthrough vs kernel route on adversarial geometry: duplicate
+    (page, offset) sort keys (stability must come from array position),
+    empty spans arrays, and a NULL spans row (must be preserved as an
+    empty 'ok' doc, not silently dropped by the branch split)."""
+    import random
+
+    from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
+
+    rng = random.Random(42)
+    rows = []
+    for d in range(30):
+        spans = []
+        n = rng.randint(0, 12)
+        for i in range(n):
+            spans.append((
+                "text", f"w{d}-{i}", "",
+                rng.randint(0, 3),          # duplicate offsets everywhere
+                rng.randint(0, 2),          # duplicate pages
+                float(rng.randint(0, 50)), float(rng.randint(0, 50)),
+                float(rng.randint(51, 99)), float(rng.randint(51, 99)),
+                1.0, 0.0,
+            ))
+        rows.append((f"doc{d}", spans))
+    rows.append(("nullspans", None))
+    df = spark.createDataFrame(rows, f"doc_id string, spans {spans_schema_ddl()}")
+
+    def run(pt):
+        return {
+            r.doc_id: (r.status, r.n_spans_in, r.n_pages,
+                       [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out])
+            for r in extract_pipeline(df, use_jvm_passthrough=pt).collect()
+        }
+
+    jvm, kern = run(True), run(False)
+    assert jvm == kern
+    assert set(jvm) == {f"doc{d}" for d in range(30)} | {"nullspans"}
+    assert jvm["nullspans"] == ("ok", 0, 0, [])
