@@ -1076,7 +1076,12 @@ FROM documents
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components (iterative min-label
     propagation) over the MinHash-LSH candidate pairs. Genuinely iterative
-    (driver-side fixpoint loop) → rows-only check per the contract."""
+    (driver-side fixpoint loop) → rows-only check per the contract.
+
+    Min-label propagation converges in O(cluster diameter) rounds — right
+    for near-dup clusters, which are shallow. For adversarial graphs (long
+    chains) use textops.connected_components_star, the O(log²) large-star/
+    small-star alternation (same invariants, tested against union-find)."""
     from swissgeol_ocr_spark.functions.textops import connected_components
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir)

@@ -128,3 +128,47 @@ def test_simhash_band_pigeonhole():
         bands_a = [(i, (a >> (8 * i)) & 255) for i in range(4)]
         bands_b = [(i, (b >> (8 * i)) & 255) for i in range(4)]
         assert set(bands_a) & set(bands_b), (a, b)
+
+
+def test_connected_components_star_adversarial(spark):
+    """Large-star/small-star CC: on a 120-node chain (diameter no plain
+    min-label propagation finishes in 20 rounds) the alternation converges
+    and labels every node with the chain minimum; on random graphs it
+    agrees with a pure-python union-find."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.functions.textops import connected_components_star
+
+    # adversarial: one long chain
+    n = 120
+    verts = spark.createDataFrame([(f"v{str(i).zfill(3)}",) for i in range(n)], "id string")
+    chain = spark.createDataFrame(
+        [(f"v{str(i).zfill(3)}", f"v{str(i + 1).zfill(3)}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    out = {r.id: r.component for r in connected_components_star(verts, chain).collect()}
+    assert set(out.values()) == {"v000"}
+
+    # random graphs vs union-find ground truth
+    rng = random.Random(3)
+    ids = [f"n{str(i).zfill(2)}" for i in range(40)]
+    edges = [(rng.choice(ids), rng.choice(ids)) for _ in range(35)]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {i: find(i) for i in ids}
+    verts2 = spark.createDataFrame([(i,) for i in ids], "id string")
+    edges2 = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.component for r in connected_components_star(verts2, edges2).collect()}
+    assert got == truth
