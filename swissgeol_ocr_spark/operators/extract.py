@@ -71,7 +71,8 @@ def salvage_document_inputs(
     beats drop. Repairs applied:
 
     * null kind/text/media strings → ''          (missing tree nodes)
-    * non-finite geometry → 0.0; inverted rect corners swapped
+    * non-finite geometry → 0.0; coordinates clamped to [0, 10^6] pt;
+      inverted rect corners swapped
     * non-finite / out-of-range confidence → clipped to [0, 1]
     * non-finite orientation → 0.0
     * null / non-finite / negative page numbers and offsets → 0
@@ -90,6 +91,7 @@ def salvage_document_inputs(
     page_nos = _ints(page_nos)
     rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
     rects = np.where(np.isfinite(rects), rects, 0.0)
+    rects = np.clip(rects, 0.0, 1e6)
     rects = np.concatenate(
         [np.minimum(rects[:, 0:2], rects[:, 2:4]), np.maximum(rects[:, 0:2], rects[:, 2:4])],
         axis=1,
@@ -162,6 +164,11 @@ def _extract_page(
     pr = rects[idx]
     page_w = max(1.0, float(math.ceil(pr[:, 2].max()))) if idx.size else 1.0
     page_h = max(1.0, float(math.ceil(pr[:, 3].max()))) if idx.size else 1.0
+    if page_w * page_h > config.max_page_mask_area:
+        # oversized-page guard (see config.max_page_mask_area): refuse to
+        # allocate a giant visibility mask for a corrupt/absurd page —
+        # untouched passthrough, page preserved
+        return [(kinds[i], texts[i], media_refs[i], -1) for i in idx]
 
     born_digital = is_digitally_born(pk, pr)
 

@@ -28,6 +28,13 @@ class ExtractConfig:
     # this also bounds worst-case task time; real pages top out well below
     # this (a dense A0 scan is ~2-3k lines).
     max_lines_per_page: int = 5_000
+    # Oversized-page guard: the visibility mask (C3/C6) is a page-area
+    # byte array, so a corrupt giant coordinate would allocate page_w*page_h
+    # bytes and kill the task. Pages whose area exceeds this cap (10^8 pt²
+    # ≈ a 10k×10k-pt page — far beyond PDF's 14400-pt legal maximum on any
+    # sane aspect ratio) are passed through untouched instead of analyzed,
+    # like the reference's oversized-payload skip (applyocr.py:63-65).
+    max_page_mask_area: float = 100_000_000.0
     # When the input carries word-level spans (the raw detection granularity
     # — Textract WORD blocks in the reference), group them into text lines
     # first via the E1 band/word-join rules (assemble.lines_from_words);

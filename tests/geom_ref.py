@@ -1,5 +1,8 @@
-"""Axis-aligned rectangle primitives matching the PyMuPDF semantics the
-reference engine relies on.
+"""TEST-ONLY reference-parity fixture library: axis-aligned rectangle
+primitives matching the PyMuPDF semantics the reference engine relies on
+(the production kernels carry their own inlined scalar folds — this module
+exists so tests can express expected values in the reference's own
+vocabulary).
 
 The reference (swisstopo/swissgeol-ocr) does all of its geometry through
 ``pymupdf.Rect`` / ``pymupdf.Point``.  We reimplement only the handful of

@@ -7,7 +7,7 @@ import math
 import numpy as np
 import pytest
 
-from swissgeol_ocr_spark.functions.geom import Rect, fast_intersection, x_overlap
+from tests.geom_ref import Rect, fast_intersection, x_overlap
 from swissgeol_ocr_spark.operators.assemble import join_words, lines_from_words
 from swissgeol_ocr_spark.operators.classify import (
     encode_kinds,

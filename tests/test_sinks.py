@@ -210,3 +210,58 @@ def test_salvage_retries_failed_kernel(monkeypatch):
     assert rows["dead"]["status"] == "error:ValueError"
     assert rows["flaky"]["status"] == "salvaged"
     assert rows["flaky"]["n_spans_out"] == 1  # repaired row still extracted
+
+
+def test_salvage_totality_property():
+    """Property: for ANY garbage input arrays (hypothesis-generated), the
+    salvage pass either repairs the row into something the kernel accepts
+    or the batch driver quarantines it — never an uncaught crash, never a
+    lost row."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from swissgeol_ocr_spark.operators.extract import (
+        extract_document,
+        salvage_document_inputs,
+    )
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+
+    weird_str = st.one_of(st.none(), st.text(max_size=6), st.just("media"))
+    weird_num = st.one_of(
+        st.none(), st.integers(-5, 5),
+        st.sampled_from([float("nan"), float("inf"), -float("inf"), 1e300]),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(weird_str, weird_str, weird_str, weird_num, weird_num,
+                      weird_num, weird_num, weird_num, weird_num,
+                      weird_num, weird_num),
+            max_size=8,
+        )
+    )
+    def check(rows):
+        kinds = [r[0] for r in rows]
+        texts = [r[1] for r in rows]
+        media = [r[2] for r in rows]
+
+        def arr(idx):
+            return np.array(
+                [float(r[idx]) if r[idx] is not None else np.nan for r in rows],
+                dtype=np.float64,
+            )
+
+        rects = (
+            np.stack([arr(5), arr(6), arr(7), arr(8)], axis=1)
+            if rows else np.zeros((0, 4))
+        )
+        repaired = salvage_document_inputs(
+            kinds, texts, media, arr(3), arr(4), rects, arr(9), arr(10)
+        )
+        out = extract_document(*repaired, ExtractConfig())
+        # repaired rows always extract; offsets dense
+        assert [o for (_, _, _, o) in out] == list(range(len(out)))
+
+    check()
