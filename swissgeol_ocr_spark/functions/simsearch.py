@@ -127,6 +127,125 @@ def ivf_assign(
     )
 
 
+QUANT = 1_000_000.0  # integer quantization for exact cross-engine means
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd-trained IVF codebook: start from the first
+    ``n_lists`` vectors by id, then run ``iters`` k-means rounds (assign by
+    max cosine, recenter on the member mean). Returns (cent_rank, cvec).
+
+    Cross-engine exactness: a float mean's value depends on summation
+    order, which neither Spark nor DuckDB guarantees — so components are
+    quantized to integers (floor(v × 1e6)) before summing; integer sums
+    are associative, and the final (sum/count)/1e6 division is then the
+    identical IEEE operation in both engines. Recall improves over the
+    untrained first-n codebook while staying oracle-reproducible."""
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("cent_rank"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    base = embeddings.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            id_col, "_v", "cent_rank",
+            F.round(cosine(F.col("_v"), F.col("cvec")), 9).alias("_csim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_rank"))
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cent_rank", "_v")
+        )
+        sums = (
+            assigned.select("cent_rank", F.posexplode("_v").alias("pos", "v"))
+            .groupBy("cent_rank", "pos")
+            .agg(
+                F.sum(F.floor(F.col("v") * F.lit(QUANT)).cast("bigint")).alias("s"),
+                F.count("*").alias("c"),
+            )
+        )
+        comp = (F.col("s").cast("double") / F.col("c")) / F.lit(QUANT)
+        new_cents = sums.groupBy("cent_rank").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), comp.alias("m")))),
+                lambda x: x["m"],
+            ).alias("cvec")
+        )
+        # a list that lost all members keeps its previous centroid
+        cents = (
+            cents.select("cent_rank", F.col("cvec").alias("_old"))
+            .join(new_cents, "cent_rank", "left")
+            .select("cent_rank", F.coalesce("cvec", "_old").alias("cvec"))
+        )
+    return cents
+
+
+def ivf_ann_trained(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 8,
+    iters: int = 2,
+    n_probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k against the Lloyd-trained codebook with multi-list
+    probing: the query scores exactly inside its ``n_probes`` nearest lists
+    (the standard IVF recall knob — probing P of L lists scans ~P/L of the
+    corpus). Training tracks density when embeddings are clustered; on
+    structure-free uniform vectors it neither helps nor hurts much, and the
+    probe count is what buys recall."""
+    cents = ivf_train(embeddings, n_lists, iters, vec_col, id_col)
+    base = embeddings.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
+    )
+    from pyspark.sql import Window
+
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        id_col, "_v", "cent_rank",
+        F.round(cosine(F.col("_v"), F.col("cvec")), 9).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_rank"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("_rn") == 1).select(
+        id_col, "_v", F.col("cent_rank").alias("ivf_list")
+    )
+    q_lists = (
+        ranked.filter((F.col(id_col) == query_vec_id) & (F.col("_rn") <= n_probes))
+        .select(F.col("cent_rank").alias("_qlist"))
+    )
+    q_vec = base.filter(F.col(id_col) == query_vec_id).select(
+        F.col("_v").alias("_qvec")
+    )
+    return (
+        assigned.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q_lists), F.col("ivf_list") == F.col("_qlist"))
+        .crossJoin(F.broadcast(q_vec))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("_v"), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_ann(
     embeddings: DataFrame,
     query_vec_id: int,

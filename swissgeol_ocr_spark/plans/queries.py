@@ -965,6 +965,95 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a Lloyd-TRAINED codebook (2 deterministic k-means rounds,
+    integer-quantized means — see simsearch.ivf_train) and 2-list probing
+    (the standard recall knob), exactly reproducible in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.ivf_ann_trained(
+        emb, query_vec_id=0, k=10, n_lists=8, iters=2, n_probes=2
+    )
+
+
+def _assign_block(cents: str, prefix: str) -> str:
+    """One k-means assignment round as DuckDB CTEs (max-cosine, rank tie)."""
+    return f"""
+{prefix}_expl AS (
+  SELECT b.vec_id, c.cent_rank, unnest(b.v) AS v, unnest(c.cvec) AS cv
+  FROM base b CROSS JOIN {cents} c
+), {prefix}_csims AS (
+  SELECT vec_id, cent_rank,
+         round(sum(v*cv) / (sqrt(sum(v*v)) * sqrt(sum(cv*cv))), 9) AS csim
+  FROM {prefix}_expl GROUP BY vec_id, cent_rank
+), {prefix}_assigned AS (
+  SELECT vec_id, cent_rank FROM (
+    SELECT vec_id, cent_rank,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_rank ASC) AS rn
+    FROM {prefix}_csims)
+  WHERE rn = 1
+)"""
+
+
+def _update_block(assigned: str, prev_cents: str, new_cents: str, prefix: str) -> str:
+    """Centroid recentering as DuckDB CTEs: integer-quantized member means
+    ((sum(floor(v*1e6))/count)/1e6 — associative, identical in Spark)."""
+    return f"""
+{prefix}_ex AS (
+  SELECT a.cent_rank, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS v
+  FROM {assigned} a JOIN base b USING (vec_id)
+), {prefix}_sums AS (
+  SELECT cent_rank, pos,
+         CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000.0 AS m
+  FROM {prefix}_ex GROUP BY cent_rank, pos
+), {prefix}_new AS (
+  SELECT cent_rank, list(m ORDER BY pos) AS cvec FROM {prefix}_sums GROUP BY cent_rank
+), {new_cents} AS (
+  SELECT c0.cent_rank, coalesce(n.cvec, c0.cvec) AS cvec
+  FROM {prev_cents} c0 LEFT JOIN {prefix}_new n USING (cent_rank)
+)"""
+
+
+def _ivf_trained_sql(n_lists: int = 8, iters: int = 2, k: int = 10, qid: int = 0) -> str:
+    parts = [f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents0 AS (
+  SELECT vec_id AS cent_rank,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_lists}
+)"""]
+    for i in range(iters):
+        parts.append("," + _assign_block(f"cents{i}", f"a{i}"))
+        parts.append("," + _update_block(f"a{i}_assigned", f"cents{i}", f"cents{i + 1}", f"u{i}"))
+    parts.append("," + _assign_block(f"cents{iters}", "fin"))
+    parts.append(f""", qlists AS (
+  SELECT cent_rank AS qlist FROM (
+    SELECT vec_id, cent_rank,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_rank ASC) AS rn
+    FROM fin_csims)
+  WHERE vec_id = {qid} AND rn <= {{n_probes}}
+), qv AS (
+  SELECT v AS qvec FROM base WHERE vec_id = {qid}
+), cand AS (
+  SELECT b.vec_id, unnest(b.v) AS v, unnest(qv.qvec) AS qv
+  FROM base b JOIN fin_assigned a USING (vec_id)
+       JOIN qlists ON a.cent_rank = qlists.qlist, qv
+  WHERE b.vec_id <> {qid}
+), scored AS (
+  SELECT vec_id,
+         round(sum(v*qv) / (sqrt(sum(v*v)) * sqrt(sum(qv*qv))), 6) AS cos_sim
+  FROM cand GROUP BY vec_id
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}""")
+    return "\n".join(parts)
+
+
+SQL_IVF_ANN_TRAINED = _ivf_trained_sql().replace("{n_probes}", "2")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1318,6 +1407,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    "ivf_ann_trained": (q_ivf_ann_trained, SQL_IVF_ANN_TRAINED),
     "langid": (q_langid, SQL_LANGID),
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
