@@ -569,12 +569,12 @@ def write_output(
         # stand-in) — what a restart consults before the doc-level anti-join
         committed.agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
-            F.sum(F.when(F.col("status") == "salvaged", 1).otherwise(0)).alias("n_salvaged"),
-            F.sum(F.when(F.col("status").startswith("error"), 1).otherwise(0)).alias(
+            F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
+            F.count(F.when(F.col("status") == "salvaged", 1)).alias("n_salvaged"),
+            F.count(F.when(F.col("status").startswith("error"), 1)).alias(
                 "n_quarantined"
             ),
-            F.sum("n_spans_out").alias("n_spans_out"),
+            F.coalesce(F.sum("n_spans_out"), F.lit(0)).alias("n_spans_out"),
         ).select(
             F.lit(run_id).alias("run_id"),
             "n_docs",
