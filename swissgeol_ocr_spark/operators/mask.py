@@ -8,6 +8,13 @@ exists, new OCR lines are suppressed (C6, ``ocr/applyocr.py:109``).
 The raster is materialized per page *inside* the Arrow UDF and never
 shuffled — it is a transient O(w·h) index giving O(1) rect-coverage
 queries.
+
+Quirk preserved for parity: a negative coordinate indexes from the page's
+far edge (numpy slice semantics) — the reference's numpy mask behaves
+identically (mask.py:9-10), so this is NOT "fixed" here. Corrupt rows
+never reach it un-normalized: the salvage pass clamps repaired
+coordinates to [0, 1e6] and the oversized-page guard bounds allocation
+(operators/extract.py).
 """
 
 from __future__ import annotations

@@ -54,3 +54,21 @@ def test_bucketed_scan_roundtrip(spark, bucketed_tables):
     assert df.count() == 100
     row = df.orderBy("doc_id").first()
     assert isinstance(row.spans, list) and len(row.spans) == row.n_spans
+
+
+def test_extract_pipeline_steady_state_shuffle_free(spark, sf_dir):
+    """The 100 TB steady state — input pre-bucketed by hash(doc_id)
+    (repartition=False) and table stats proving no mega docs
+    (has_mega=False) — must plan with ZERO Exchange operators and no
+    page-split subtree: scan → passthrough/kernel union, nothing else."""
+    # no .limit() here — a global limit inserts its own SinglePartition
+    # Exchange and would mask what this test pins
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = documents_to_spans(docs)
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+
+    out = extract_pipeline(spans, repartition=False, has_mega=False)
+    plan = _plan_of(out)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no posexplode = no mega subtree
+    assert out.count() == docs.count()
