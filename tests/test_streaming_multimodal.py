@@ -197,3 +197,32 @@ def test_debug_table(spark):
     got = [(r.doc_id, r.offset, r.text, r.visible) for r in
            debug_table(df).orderBy("doc_id", "offset").collect()]
     assert got == [("d1", 1, "hello", True), ("d1", 2, "world", True)]
+
+
+def test_stream_matches_batch_word_granularity(spark, sf_dir, tmp_path):
+    """Streaming over WORD-granularity input with build_lines_from_words
+    must equal the batch pipeline span-for-span — the from-scratch layout
+    detection is stateless per document, so it streams unchanged."""
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+    from swissgeol_ocr_spark.sources.corpus import documents_to_word_spans
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    spans = documents_to_word_spans(docs).select("doc_id", "spans")
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spans.write.parquet(in_dir)
+
+    cfg = ExtractConfig(build_lines_from_words=True)
+    q = run_stream_to_parquet(spark, in_dir, out_dir, ckpt, cfg)
+    q.awaitTermination(120)
+
+    stream_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(spans, cfg, repartition=False).collect()
+    }
+    assert stream_out == batch_out
