@@ -163,7 +163,7 @@ def ivf_train(
     for _ in range(iters):
         scored = base.crossJoin(F.broadcast(cents)).select(
             id_col, "_v", "cent_rank",
-            F.round(cosine(F.col("_v"), F.col("cvec")), 9).alias("_csim"),
+            F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_csim"),
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_rank"))
         assigned = (
@@ -219,7 +219,7 @@ def ivf_ann_trained(
 
     scored = base.crossJoin(F.broadcast(cents)).select(
         id_col, "_v", "cent_rank",
-        F.round(cosine(F.col("_v"), F.col("cvec")), 9).alias("_csim"),
+        F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_rank"))
     ranked = scored.withColumn("_rn", F.row_number().over(w))

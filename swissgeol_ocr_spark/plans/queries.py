@@ -968,7 +968,11 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 def q_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a Lloyd-TRAINED codebook (2 deterministic k-means rounds,
     integer-quantized means — see simsearch.ivf_train) and 2-list probing
-    (the standard recall knob), exactly reproducible in DuckDB."""
+    (the standard recall knob), exactly reproducible in DuckDB. Assignment
+    similarities are rounded to 6dp before comparison: a float sum's last
+    bits differ by summation order across engines, and the coarser grid
+    makes a boundary flip ~1000x less likely than 9dp (ties break on
+    cent_rank deterministically either way)."""
     emb = _t(spark, sf_dir, "embeddings")
     return simsearch.ivf_ann_trained(
         emb, query_vec_id=0, k=10, n_lists=8, iters=2, n_probes=2
@@ -983,7 +987,7 @@ def _assign_block(cents: str, prefix: str) -> str:
   FROM base b CROSS JOIN {cents} c
 ), {prefix}_csims AS (
   SELECT vec_id, cent_rank,
-         round(sum(v*cv) / (sqrt(sum(v*v)) * sqrt(sum(cv*cv))), 9) AS csim
+         round(sum(v*cv) / (sqrt(sum(v*v)) * sqrt(sum(cv*cv))), 6) AS csim
   FROM {prefix}_expl GROUP BY vec_id, cent_rank
 ), {prefix}_assigned AS (
   SELECT vec_id, cent_rank FROM (
