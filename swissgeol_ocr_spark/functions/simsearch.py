@@ -77,7 +77,12 @@ def hyperplane_component(plane: int, j: Column) -> Column:
 
 
 def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-bucket id in [0, 2^n_planes): bit p set iff dot(vec, plane_p) > 0."""
+    """Sign-bucket id in [0, 2^n_planes): bit p set iff dot(vec, plane_p) > 0.
+
+    The sign is taken on the projection ROUNDED to 6dp: Spark's aggregate()
+    folds the sum sequentially while a SQL twin's GROUP BY sum is unordered,
+    so an unrounded projection epsilon-close to zero could flip the bit between
+    engines (same margin trick as the cosine scores / IVF assignment)."""
     bucket = F.lit(0)
     for p in range(n_planes):
         proj = F.aggregate(
@@ -88,7 +93,7 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(F.round(proj, 6) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 

@@ -75,7 +75,9 @@ def salvage_document_inputs(
       inverted rect corners swapped
     * non-finite / out-of-range confidence → clipped to [0, 1]
     * non-finite orientation → 0.0
-    * null / non-finite / negative page numbers and offsets → 0
+    * null / non-finite / negative page numbers and offsets → 0; finite
+      values above 2^62 clamp to 2^62 (an unguarded float→int64 cast of a
+      huge value is undefined and typically wraps negative)
 
     Pure-python + numpy, no Spark; called by the Arrow kernel driver on
     exception (zero cost for healthy documents) and usable proactively."""
@@ -85,7 +87,11 @@ def salvage_document_inputs(
 
     def _ints(a):
         a = np.asarray(a, dtype=np.float64)
-        return np.maximum(np.where(np.isfinite(a), a, 0.0), 0.0).astype(np.int64)
+        # clip the upper bound too: a finite huge float (1e300) would be
+        # undefined in float→int64 conversion (typically wraps negative,
+        # violating the "out-of-range → 0" contract); 2^62 is exactly
+        # representable in float64 and safely inside int64
+        return np.clip(np.where(np.isfinite(a), a, 0.0), 0.0, 2.0**62).astype(np.int64)
 
     offsets = _ints(offsets)
     page_nos = _ints(page_nos)

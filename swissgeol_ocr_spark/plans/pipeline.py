@@ -127,8 +127,19 @@ def _extract_batches(
         media_mask = pc.fill_null(
             pc.equal(kind_field, "media"), False
         ).to_numpy(zero_copy_only=False)
-        off_all = struct.field("offset").to_numpy(zero_copy_only=False)
-        page_all = struct.field("page_no").to_numpy(zero_copy_only=False)
+        # null offset/page_no → 0 (the salvage rule, applied proactively):
+        # a null would otherwise become NaN in to_numpy and order LAST in
+        # the lexsort fast path while the JVM passthrough's coalesce(…, 0)
+        # orders it first. fill_null is skipped entirely for healthy
+        # batches (null_count == 0 keeps the zero-copy view).
+        off_arr = struct.field("offset")
+        page_arr = struct.field("page_no")
+        if off_arr.null_count:
+            off_arr = pc.fill_null(off_arr, 0)
+        if page_arr.null_count:
+            page_arr = pc.fill_null(page_arr, 0)
+        off_all = off_arr.to_numpy(zero_copy_only=False)
+        page_all = page_arr.to_numpy(zero_copy_only=False)
         rect_all = None  # built lazily — passthrough-only batches never need it
         conf_all = struct.field("confidence")
         orient_all = struct.field("orientation")
@@ -290,8 +301,12 @@ def jvm_passthrough(df: DataFrame) -> DataFrame:
     keyed = F.transform(
         "spans",
         lambda s, i: F.struct(
-            s["page_no"].alias("p"),
-            s["offset"].alias("o"),
+            # null page/offset → 0, matching the kernel path (a null numeric
+            # field raises in the Arrow kernel → salvage maps it to 0,
+            # operators/extract.py _ints); struct sort would otherwise put
+            # nulls first and the two branches would disagree on ordering
+            F.coalesce(s["page_no"], F.lit(0)).alias("p"),
+            F.coalesce(s["offset"], F.lit(0)).alias("o"),
             i.alias("i"),
             s["kind"].alias("kind"),
             s["text"].alias("text"),

@@ -325,9 +325,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     one viral shingle would blow the pair join up quadratically at corpus
     scale. Shingles with document frequency > JACCARD_DF_CAP (within their
     source) are dropped BEFORE the pair join — this can only lower ``inter``
-    (never add a false positive), and any pair that could plausibly clear
-    Jaccard ≥ 0.5 shares many rare shingles, not only viral ones. The
-    denominator keeps the full per-doc shingle counts."""
+    (never add a false positive). The denominator keeps the full per-doc
+    shingle counts.
+
+    KNOWN RECALL LIMIT of the cap (deliberate tradeoff, mirrored exactly in
+    the SQL oracle): a duplicate/boilerplate cluster wider than the cap —
+    >JACCARD_DF_CAP near-identical docs in one source — makes ALL of its
+    shingles viral, so such clusters lose every candidate pair here
+    (inter = 0). This operator is the *n-gram* leg of a dedup ensemble, not
+    the whole spine: byte-identical wide clusters are caught by
+    ``dedup_exact`` (no cap), near-identical wide clusters by
+    ``dedup_minhash_lsh`` / ``dedup_simhash_pairs`` (band keys group the
+    whole cluster into shared buckets; cost grows with cluster size, not
+    with a per-shingle k² blowup)."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "source", F.split("text", " ").alias("w"))
@@ -784,7 +794,7 @@ WITH base AS (
   FROM vecs JOIN planes ON vecs.j = planes.j
   GROUP BY vec_id, plane
 ), buckets AS (
-  SELECT vec_id, CAST(sum(CASE WHEN dotp > 0 THEN 1 << plane ELSE 0 END) AS INT)
+  SELECT vec_id, CAST(sum(CASE WHEN round(dotp, 6) > 0 THEN 1 << plane ELSE 0 END) AS INT)
            AS bucket
   FROM proj GROUP BY vec_id
 ), pairs AS (
@@ -890,7 +900,7 @@ WITH planes AS (
   FROM vecs JOIN planes ON vecs.j = planes.j
   GROUP BY vec_id, plane
 ), buckets AS (
-  SELECT vec_id, CAST(sum(CASE WHEN dotp > 0 THEN 1 << plane ELSE 0 END) AS INT)
+  SELECT vec_id, CAST(sum(CASE WHEN round(dotp, 6) > 0 THEN 1 << plane ELSE 0 END) AS INT)
            AS bucket
   FROM proj GROUP BY vec_id
 ), q AS (

@@ -308,8 +308,11 @@ def test_passthrough_adversarial_differential(spark):
         for i in range(n):
             spans.append((
                 "text", f"w{d}-{i}", "",
-                rng.randint(0, 3),          # duplicate offsets everywhere
-                rng.randint(0, 2),          # duplicate pages
+                # NULL offset/page_no ~1 in 8: both branches must agree on
+                # ordering (kernel: salvage maps null→0; passthrough:
+                # coalesce(...,0) in the sort struct)
+                None if rng.random() < 0.125 else rng.randint(0, 3),
+                None if rng.random() < 0.125 else rng.randint(0, 2),
                 float(rng.randint(0, 50)), float(rng.randint(0, 50)),
                 float(rng.randint(51, 99)), float(rng.randint(51, 99)),
                 1.0, 0.0,
