@@ -174,6 +174,57 @@ def write_golden(name: str, rows) -> None:
     print(f"wrote {table.num_rows} rows -> {out}")
 
 
+def make_dedup_clusters() -> None:
+    """Golden (doc_id, cluster_id) table for the near-dup clustering query.
+
+    INDEPENDENT of the Spark implementation under test: the candidate edge
+    set comes from DuckDB running SQL_MINHASH (the same oracle SQL the
+    driver already hash-verifies against the Spark pair query), and the
+    transitive closure is a 30-line pure-python union-find. cluster_id is
+    the smallest member doc_id — the invariant both Spark variants
+    (min-label propagation and large-star/small-star) converge to.
+    """
+    import duckdb
+
+    from swissgeol_ocr_spark.plans.queries import SQL_MINHASH
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
+    pairs = con.sql(SQL_MINHASH).fetchall()
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = sorted((i, find(i)) for i in ids)
+    out = os.path.join(GOLDEN_DIR, f"dedup_clusters_sf{SF}.parquet")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, out)
+    n_clusters = len({c for _, c in rows})
+    print(f"wrote {table.num_rows} rows ({n_clusters} clusters) -> {out}")
+
+
 def main() -> None:
     import duckdb
 
@@ -199,6 +250,7 @@ def main() -> None:
     write_golden(f"extract_layout1_sf{SF}.parquet", layout1)
     write_golden(f"extract_aggressive_sf{SF}.parquet", aggressive)
     write_golden(f"extract_words_sf{SF}.parquet", word_rows)
+    make_dedup_clusters()
 
 
 if __name__ == "__main__":

@@ -1177,20 +1177,24 @@ FROM documents
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components (iterative min-label
-    propagation) over the MinHash-LSH candidate pairs. Genuinely iterative
-    (driver-side fixpoint loop) → rows-only check per the contract.
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate pairs; cluster_id = smallest member doc_id.
 
-    Min-label propagation converges in O(cluster diameter) rounds — right
-    for near-dup clusters, which are shallow. For adversarial graphs (long
-    chains) use textops.connected_components_star, the O(log²) large-star/
-    small-star alternation (same invariants, tested against union-find)."""
-    from swissgeol_ocr_spark.functions.textops import connected_components
+    The registered implementation is the large-star/small-star alternation
+    (textops.connected_components_star) — O(log² n) rounds on ANY graph, so
+    an adversarial chain of pairwise-similar documents can't force
+    O(diameter) driver-side iterations the way plain min-label propagation
+    (textops.connected_components, kept for shallow-cluster workloads)
+    would. Oracle: golden parquet computed by a pure-python union-find over
+    the DuckDB-generated MinHash pair list (scripts/make_golden.py) — the
+    edge set itself is independently hash-verified by the
+    ``dedup_minhash_lsh`` oracle."""
+    from swissgeol_ocr_spark.functions.textops import connected_components_star
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    return connected_components(docs, edges).select(
+    return connected_components_star(docs, edges).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
@@ -1392,6 +1396,13 @@ SELECT doc_id, kind, text, media_ref, "offset"
 FROM read_parquet('{_golden_path("extract_words_sf0.01.parquet")}')
 """
 
+# Golden precomputed by scripts/make_golden.py: pure-python union-find over
+# the DuckDB-run SQL_MINHASH pair list (independent of the Spark CC code).
+SQL_DEDUP_CLUSTERS = f"""
+SELECT doc_id, cluster_id
+FROM read_parquet('{_golden_path("dedup_clusters_sf0.01.parquet")}')
+"""
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -1430,5 +1441,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),
     "extract_aggressive": (q_extract_aggressive, SQL_EXTRACT_AGGRESSIVE),
-    "dedup_clusters": (q_dedup_clusters, None),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
