@@ -11,13 +11,15 @@ visibility masks does not, so those faces are pinned by golden files:
 * extract_words_sf<sf>.parquet      — word-granularity corpus,
                                       build_lines_from_words
 
-To keep the goldens INDEPENDENT of the Spark plumbing they validate,
-everything here is pure Python: corpus synthesis is a from-scratch twin of
-sources/corpus.py (same md5-prefix hash arithmetic — any drift between
-this and the Spark expressions shows up as an oracle mismatch, which is
-the point), and extraction is the local per-document kernel
-(operators/extract.extract_document), itself pinned to the reference's own
-test vectors in tests/test_readingorder.py + tests/test_kernels.py.
+To keep the goldens INDEPENDENT of the code they validate, everything here
+is pure Python and imports NOTHING from the engine's kernel: corpus
+synthesis is a from-scratch twin of sources/corpus.py (same md5-prefix
+hash arithmetic — any drift between this and the Spark expressions shows
+up as an oracle mismatch, which is the point), and extraction runs through
+scripts/ref_twin.py — a naive object/set implementation mirroring the
+REFERENCE's own code shape (readingorder.py/applyocr.py/clean.py), so a
+golden hash-match proves Spark-pipeline ↔ kernel ↔ reference-shape
+equality over the whole corpus, not just the pytest fixture vectors.
 
 Usage:  python scripts/make_golden.py [sf_dir]   (default /root/testdata/sf0.01)
 """
@@ -29,14 +31,13 @@ import math
 import os
 import sys
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from swissgeol_ocr_spark.operators.extract import extract_document  # noqa: E402
-from swissgeol_ocr_spark.plans.config import ExtractConfig  # noqa: E402
+from ref_twin import twin_extract  # noqa: E402
 from swissgeol_ocr_spark.sources.corpus import (  # noqa: E402
     LINE_GAP,
     LINE_HEIGHT,
@@ -144,20 +145,6 @@ def synth_word_spans(doc_id: str, text: str):
     return spans
 
 
-def run_kernel(doc_id: str, spans, cfg: ExtractConfig):
-    kinds = [s[0] for s in spans]
-    texts = [s[1] for s in spans]
-    medias = [s[2] for s in spans]
-    pages = np.array([s[3] for s in spans], dtype=np.int64)
-    rects = np.array([s[4] for s in spans], dtype=np.float64).reshape(-1, 4)
-    confs = np.array([s[5] for s in spans], dtype=np.float64)
-    orients = np.array([s[6] for s in spans], dtype=np.float64)
-    return extract_document(
-        kinds, texts, medias, np.arange(len(spans), dtype=np.int64),
-        pages, rects, confs, orients, cfg,
-    )
-
-
 def write_golden(name: str, rows) -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     out = os.path.join(GOLDEN_DIR, name)
@@ -232,19 +219,17 @@ def main() -> None:
         f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, text "
         f"FROM '{SF_DIR}/documents.parquet'"
     ).fetchall()
-    default_cfg = ExtractConfig()
-    aggr_cfg = ExtractConfig(use_aggressive_strategy=True)
-    words_cfg = ExtractConfig(build_lines_from_words=True)
-
     layout1, aggressive, word_rows = [], [], []
     for doc_id, text in docs:
         spans = synth_spans(doc_id, text)
         if h16(f"{doc_id}:l") % 4 == 1:
-            for (k, t, m, o) in run_kernel(doc_id, spans, default_cfg):
+            for (k, t, m, o) in twin_extract(spans):
                 layout1.append((doc_id, k, t, m, o))
-        for (k, t, m, o) in run_kernel(doc_id, spans, aggr_cfg):
+        for (k, t, m, o) in twin_extract(spans, aggressive=True):
             aggressive.append((doc_id, k, t, m, o))
-        for (k, t, m, o) in run_kernel(doc_id, synth_word_spans(doc_id, text), words_cfg):
+        for (k, t, m, o) in twin_extract(
+            synth_word_spans(doc_id, text), build_lines_from_words=True
+        ):
             word_rows.append((doc_id, k, t, m, o))
 
     write_golden(f"extract_layout1_sf{SF}.parquet", layout1)

@@ -1,0 +1,113 @@
+"""Differential: the independent reference-shaped twin (scripts/ref_twin —
+naive objects/lists mirroring /root/reference/ocr/readingorder.py,
+applyocr.py, preprocess/clean.py, textract/textract.py) must agree
+span-for-span with the vectorized kernel (operators/extract) on every
+corpus document under all three strategies, and on adversarial random
+geometry with deliberate integer-grid ties.
+
+This is the independence leg of the golden oracles: tests/golden/*.parquet
+are produced by the twin (scripts/make_golden.py), the driver hash-checks
+the Spark pipeline against them, and THIS test pins twin == kernel, so a
+golden match proves Spark ↔ kernel ↔ reference-shape equality."""
+
+import importlib.util
+import os
+import random
+
+import duckdb
+import numpy as np
+import pytest
+
+from swissgeol_ocr_spark.operators.extract import extract_document
+from swissgeol_ocr_spark.plans.config import ExtractConfig
+
+_SCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+)
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_SCRIPTS, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ref_twin = _load("ref_twin")
+make_golden = _load("make_golden")
+
+CONFIGS = {
+    "default": (ExtractConfig(), {}),
+    "aggressive": (ExtractConfig(use_aggressive_strategy=True), {"aggressive": True}),
+    "words": (
+        ExtractConfig(build_lines_from_words=True),
+        {"build_lines_from_words": True},
+    ),
+}
+
+
+def run_kernel(spans, cfg: ExtractConfig):
+    kinds = [s[0] for s in spans]
+    texts = [s[1] for s in spans]
+    medias = [s[2] for s in spans]
+    pages = np.array([s[3] for s in spans], dtype=np.int64)
+    rects = np.array([s[4] for s in spans], dtype=np.float64).reshape(-1, 4)
+    confs = np.array([s[5] for s in spans], dtype=np.float64)
+    orients = np.array([s[6] for s in spans], dtype=np.float64)
+    return extract_document(
+        kinds, texts, medias, np.arange(len(spans), dtype=np.int64),
+        pages, rects, confs, orients, cfg,
+    )
+
+
+@pytest.mark.parametrize("cfg_kind", list(CONFIGS))
+def test_twin_matches_kernel_on_corpus(cfg_kind, sf_dir):
+    cfg, twin_kw = CONFIGS[cfg_kind]
+    docs = duckdb.sql(
+        f"SELECT CAST(doc_id AS VARCHAR), text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(docs) > 0
+    synth = (
+        make_golden.synth_word_spans if cfg_kind == "words" else make_golden.synth_spans
+    )
+    for doc_id, text in docs:
+        spans = synth(doc_id, text)
+        assert ref_twin.twin_extract(spans, **twin_kw) == run_kernel(spans, cfg), (
+            cfg_kind,
+            doc_id,
+        )
+
+
+@pytest.mark.parametrize("cfg_kind", list(CONFIGS))
+def test_twin_matches_kernel_adversarial(cfg_kind):
+    """Random pages on a coarse integer grid: duplicate rects, exact
+    sort-key ties, zero-area rects, stacked media/text/path/ocr-text in
+    arbitrary draw order. Both implementations document the same
+    lowest-index tie rule, so they must agree exactly."""
+    cfg, twin_kw = CONFIGS[cfg_kind]
+    rng = random.Random(20260816 + len(cfg_kind))
+    kinds = ["text", "path", "media", "ocr-text", "unknown-kind"]
+    for trial in range(60):
+        n = rng.randint(1, 28)
+        spans = []
+        for _ in range(n):
+            x0 = float(rng.randrange(0, 500, 20))
+            y0 = float(rng.randrange(0, 700, 20))
+            w = float(rng.choice([0, 40, 60, 200]))
+            h = float(rng.choice([0, 12, 12, 24]))
+            spans.append(
+                (
+                    rng.choice(kinds),
+                    rng.choice(["", "alpha beta", "gamma", "delta epsilon zeta"]),
+                    "",
+                    rng.randint(0, 2),
+                    (x0, y0, x0 + w, y0 + h),
+                    rng.choice([0.5, 0.72, 0.9, 0.99, 1.0]),
+                    0.0,
+                )
+            )
+        got_twin = ref_twin.twin_extract(spans, **twin_kw)
+        got_kernel = run_kernel(spans, cfg)
+        assert got_twin == got_kernel, (cfg_kind, trial, spans)
