@@ -3,18 +3,23 @@ with typed metadata, processed in Arrow-batched kernels.
 
 The reference's media handling (P5 JPX→JPG normalize, P6 crop-to-page,
 P7 size-budget downscale loop, P8 stencil invert — crop.py:25-194,
-applyocr.py:34-49) is pixel work tied to PyMuPDF/PIL, which are not in
-this container. The Spark-side plumbing here is REAL and tested — schema,
-partitioning, batch shape, budget accounting — while the pixel kernels are
-deterministic stand-ins behind ``_decode_stub`` (clearly marked; swap in a
-real codec on a cluster image that ships one).
+applyocr.py:34-49) mixes engine semantics with codec work. The engine
+semantics here are REAL and tested — schema, partitioning, batch shape,
+budget accounting — and so is the pixel path for codec-free Netpbm
+rasters: ``decode_raster`` parses P6/PPM (RGB) and P5/PGM (grayscale
+stencil) payloads with pure numpy, ``invert_stencil`` applies the P8
+stencil inversion, and ``extract_media_features`` reduces the actual
+pixels. Only codec-bound formats (JPEG/audio/video) fall back to the
+clearly-marked ``_decode_stub`` — swap in a real codec (PIL/ffmpeg) on a
+cluster image that ships one.
 
 Operators:
 * ``media_table_schema``      — binary payload + typed metadata struct
 * ``normalize_media``         — P5-shaped format normalization (jpx→jpg)
 * ``downscale_oversized``     — P7 ≤10MB budget loop as metadata transform
-* ``extract_media_features``  — mapInPandas feature extraction (batched;
-                                deterministic digest-based fake features)
+* ``decode_raster``           — REAL P6/P5 Netpbm decode (pure numpy)
+* ``invert_stencil``          — P8 stencil inversion on real pixels
+* ``extract_media_features``  — mapInPandas feature extraction (batched)
 * ``sample_frames``           — video frame sampling plan (offsets only)
 """
 
@@ -43,13 +48,47 @@ def media_table_schema() -> str:
 
 
 def _decode_stub(payload: bytes) -> np.ndarray:
-    """STUB for the pixel decode step — the image/audio codecs are not in
-    this container. Produces a deterministic 8×8 'pixel' block from the
+    """STUB for codec-bound decode (audio/video/JPEG — their codecs are not
+    in this container). Produces a deterministic 8×8 'pixel' block from the
     payload digest so downstream plumbing is exercised end-to-end with
     stable values. Replace with a real decoder (PIL/ffmpeg) on a cluster
-    image that ships one."""
+    image that ships one. Raster images never reach this: they decode for
+    real via ``decode_raster``."""
     digest = hashlib.sha256(payload or b"").digest()
     return np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
+
+
+def decode_raster(payload: bytes) -> tuple[np.ndarray, bool] | None:
+    """REAL pixel decode for the codec-free Netpbm rasters (pure numpy):
+
+    * ``P6`` (PPM): header ``P6\\n{w} {h}\\n{maxval}\\n`` + w*h*3 raw RGB
+      bytes → (h, w, 3) uint8 array
+    * ``P5`` (PGM): same header, 1 byte/px → (h, w) uint8 array; flagged
+      as a stencil (the reference's colorspace-less stencil pixmap,
+      crop.py:187-190)
+
+    Returns (pixels, is_stencil), or None when the payload is not a
+    Netpbm raster (codec formats fall back to the declared stub)."""
+    if payload is None or not (payload.startswith(b"P6") or payload.startswith(b"P5")):
+        return None
+    try:
+        magic, dims, _maxval, raw = payload.split(b"\n", 3)
+    except ValueError:
+        return None
+    w, h = (int(t) for t in dims.split())
+    depth = 3 if magic == b"P6" else 1
+    n = w * h * depth
+    if len(raw) < n:
+        return None
+    px = np.frombuffer(raw[:n], dtype=np.uint8)
+    px = px.reshape(h, w, 3) if depth == 3 else px.reshape(h, w)
+    return px, magic == b"P5"
+
+
+def invert_stencil(px: np.ndarray) -> np.ndarray:
+    """P8 — invert a stencil raster (reference crop.py:187-190: a
+    colorspace-less pixmap is inverted with ``invert_irect`` before use)."""
+    return (255 - px.astype(np.int32)).astype(np.uint8)
 
 
 def normalize_media(media: DataFrame) -> DataFrame:
@@ -141,32 +180,69 @@ def crop_to_visible(media: DataFrame) -> DataFrame:
 
 def extract_media_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column via
-    ``mapInPandas`` — the batch shape (one pandas chunk = many media rows,
-    decode + reduce inside, no per-row Python UDF) is the real pattern; the
-    decode itself is the deterministic stub."""
+    ``mapInPandas`` — one pandas chunk = many media rows, decode + reduce
+    inside, no per-row Python UDF.
+
+    Netpbm raster payloads (P6/P5) decode for REAL (``decode_raster``);
+    stencil rasters are inverted first (P8, ``invert_stencil``) — the
+    emitted statistics are of the pixels downstream would actually consume.
+    Codec formats (audio/video/JPEG) fall back to the declared digest stub
+    with ``decoded = false``.
+
+    Emitted per row: raster dims, byte-sample count, sum/min/max, dark-pixel
+    count (< 64), mean (floor-quantized to 6dp so a SQL oracle reproduces it
+    bit-for-bit), and an md5 over the reduced pixel buffer."""
 
     out_schema = (
-        "media_ref string, doc_id string, "
-        "mean_intensity double, feature_hash string"
+        "media_ref string, doc_id string, decoded boolean, is_stencil boolean, "
+        "px_w int, px_h int, n_samples bigint, sum_px bigint, "
+        "min_px int, max_px int, n_dark bigint, mean_px double, "
+        "feature_hash string"
     )
+
+    def _feats(payload) -> tuple:
+        raw = bytes(payload) if payload is not None else b""
+        decoded = decode_raster(raw)
+        if decoded is None:
+            block, is_stencil, ok = _decode_stub(raw), False, False
+            w, h = 8, 8
+        else:
+            block, is_stencil = decoded
+            ok = True
+            w, h = block.shape[1], block.shape[0]
+            if is_stencil:
+                block = invert_stencil(block)
+        flat = block.reshape(-1)
+        n = int(flat.size)
+        s = int(flat.sum(dtype=np.int64))
+        # floor-quantize: engines agree exactly, no round-half boundary
+        mean_px = float(np.floor(s * 1_000_000.0 / n) / 1_000_000.0)
+        return (
+            ok, is_stencil, w, h, n, s,
+            int(flat.min()), int(flat.max()),
+            int(np.count_nonzero(flat < 64)), mean_px,
+            hashlib.md5(block.tobytes()).hexdigest(),
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                block = _decode_stub(bytes(payload) if payload is not None else b"")
-                feats.append(
-                    (
-                        float(block.mean()),
-                        hashlib.md5(block.tobytes()).hexdigest(),
-                    )
-                )
+            feats = [_feats(p) for p in pdf["payload"]]
+            cols = list(zip(*feats)) if feats else [[] for _ in range(11)]
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
                     "doc_id": pdf["doc_id"],
-                    "mean_intensity": [f[0] for f in feats],
-                    "feature_hash": [f[1] for f in feats],
+                    "decoded": cols[0],
+                    "is_stencil": cols[1],
+                    "px_w": cols[2],
+                    "px_h": cols[3],
+                    "n_samples": cols[4],
+                    "sum_px": cols[5],
+                    "min_px": cols[6],
+                    "max_px": cols[7],
+                    "n_dark": cols[8],
+                    "mean_px": cols[9],
+                    "feature_hash": cols[10],
                 }
             )
 

@@ -343,8 +343,22 @@ def _line_span(i: Column, dg: Column) -> Column:
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic media table matching
     functions/multimodal.media_table_schema(): one media row per document,
-    payload = utf-8 text bytes (an opaque blob as far as the engine is
-    concerned), format/kind/dims derived by hash arithmetic."""
+    format/kind/dims derived by hash arithmetic.
+
+    Image-kind rows carry a REAL, codec-free raster payload so the decode →
+    feature → invert path runs actual pixel math end-to-end:
+
+    * non-stencil images: binary PPM (``P6``), thumbnail pw×ph RGB, pixel
+      bytes = the document's text repeated (ASCII → one byte per char)
+    * stencil images (h % 7 == 0): binary PGM (``P5``), 1 byte/px — the
+      colorspace-less stencil pixmap of reference crop.py:187-190, which
+      the feature kernel must invert (P8)
+
+    Both are reconstructable in closed form by a SQL oracle (same substring/
+    repeat/ascii arithmetic). Audio/video rows keep an opaque utf-8 blob
+    (their decoders are genuine codec work — see functions/multimodal).
+    meta.width/height/n_bytes stay the synthetic full-size metadata driving
+    the P6/P7 budget operators; the payload is the decodable raster."""
     h = _h(F.concat(F.col("doc_id").cast("string"), F.lit(":media")), width=8)
     kind = (
         F.when(F.pmod(h, F.lit(3)) == 0, F.lit("image"))
@@ -361,11 +375,31 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     n_bytes = (F.length("text").cast("bigint") + 1) * (
         F.pmod(h, F.lit(1_000_000)) + 1
     )
+    pw = (F.pmod(h, F.lit(13)) + 4).cast("int")   # thumbnail width 4..16
+    ph = (F.pmod(h, F.lit(7)) + 3).cast("int")    # thumbnail height 3..9
+    is_stencil = F.pmod(h, F.lit(7)) == 0
+    depth = F.when(is_stencil, F.lit(1)).otherwise(F.lit(3))
+    # ASCII pixel stream: repeat "text " until it covers the largest
+    # possible raster (16*9*3 = 432 bytes), then cut to this raster's size
+    pixel_chars = F.expr(
+        "substring(repeat(concat(text, ' '), "
+        "cast(ceil(432.0 / (length(text) + 1)) as int) + 1), 1, "
+        "cast(pw * ph * depth as int))"
+    )
+    raster = F.concat(
+        F.when(is_stencil, F.lit("P5\n")).otherwise(F.lit("P6\n")),
+        pw.cast("string"), F.lit(" "), ph.cast("string"), F.lit("\n255\n"),
+        pixel_chars,
+    )
+    payload = F.when(
+        kind == "image", F.encode(raster, "utf-8")
+    ).otherwise(F.encode(F.col("text"), "utf-8"))
+    docs = docs.withColumn("pw", pw).withColumn("ph", ph).withColumn("depth", depth)
     return docs.select(
         F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.col("doc_id").cast("string").alias("doc_id"),
         kind.alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        payload.alias("payload"),
         F.struct(
             fmt.alias("format"),
             (F.pmod(h, F.lit(4000)) + 100).cast("int").alias("width"),

@@ -53,17 +53,68 @@ class TestMultimodal:
                 assert r.n_bytes / (4.0 ** (k - 1)) >= TEN_MB
 
     def test_feature_extraction_batched_and_deterministic(self, media_df):
+        import math
+
+        import numpy as np
+
         out = extract_media_features(media_df)
         rows = {r.media_ref: r for r in out.collect()}
         assert len(rows) == media_df.count()
-        src = {r.media_ref: bytes(r.payload) for r in media_df.collect()}
+        src = {
+            r.media_ref: (r.kind, bytes(r.payload)) for r in media_df.collect()
+        }
+        n_raster = n_stub = 0
         for ref, r in rows.items():
-            digest = hashlib.sha256(src[ref]).digest()
-            import numpy as np
+            kind, payload = src[ref]
+            if kind == "image":
+                # REAL decode: payload is a Netpbm raster; recompute the
+                # statistics from the bytes independently
+                n_raster += 1
+                assert r.decoded
+                magic, dims, maxval, raw = payload.split(b"\n", 3)
+                w, h = (int(t) for t in dims.split())
+                depth = 3 if magic == b"P6" else 1
+                px = np.frombuffer(raw[: w * h * depth], dtype=np.uint8)
+                assert r.is_stencil == (magic == b"P5")
+                if r.is_stencil:
+                    px = 255 - px.astype(np.int64)
+                assert (r.px_w, r.px_h) == (w, h)
+                assert r.n_samples == w * h * depth
+                assert r.sum_px == int(px.sum())
+                assert r.min_px == int(px.min()) and r.max_px == int(px.max())
+                assert r.n_dark == int(np.count_nonzero(px < 64))
+                assert r.mean_px == math.floor(px.sum() * 1e6 / px.size) / 1e6
+            else:
+                # codec formats: the declared digest stub
+                n_stub += 1
+                assert not r.decoded
+                digest = hashlib.sha256(payload).digest()
+                block = np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
+                assert r.sum_px == int(block.sum())
+                assert r.feature_hash == hashlib.md5(block.tobytes()).hexdigest()
+        assert n_raster >= 10 and n_stub >= 10
 
-            block = np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
-            assert r.mean_intensity == pytest.approx(float(block.mean()))
-            assert r.feature_hash == hashlib.md5(block.tobytes()).hexdigest()
+    def test_stencil_invert_real_pixels(self):
+        """P8 on a hand-built PGM stencil: decode + invert must reproduce
+        the exact inverted byte values (reference crop.py:187-190)."""
+        import numpy as np
+
+        from swissgeol_ocr_spark.functions.multimodal import (
+            decode_raster,
+            invert_stencil,
+        )
+
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        payload = b"P5\n4 3\n255\n" + px.tobytes()
+        decoded, is_stencil = decode_raster(payload)
+        assert is_stencil and decoded.shape == (3, 4)
+        inv = invert_stencil(decoded)
+        assert inv.tolist() == (255 - px.astype(int)).tolist()
+        # RGB raster: not a stencil, shape (h, w, 3)
+        rgb = b"P6\n2 2\n255\n" + bytes(range(12))
+        decoded, is_stencil = decode_raster(rgb)
+        assert not is_stencil and decoded.shape == (2, 2, 3)
+        assert decode_raster(b"\x89PNG...") is None
 
     def test_sample_frames_plan(self, media_df):
         frames = sample_frames(media_df, every_ms=1000)
