@@ -120,23 +120,42 @@ def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 2) -> Column:
 
 def simhash(digests: Column, bits: int = 16) -> Column:
     """``bits``-bit SimHash over a materialized per-token ``md5_digests``
-    column, engine-portable (bits ≤ 32 — one md5 nibble per bit position).
+    column, engine-portable.
 
-    Per token, md5's first ``bits`` hex nibbles vote per bit position:
-    nibble ≥ 8 votes +1, else −1; the sign per position forms the
-    fingerprint. Returned as a non-negative BIGINT."""
-    assert bits <= 32
+    Per token, md5 nibbles vote per bit position: positions 0..31 use the
+    top bit of nibble j (value ≥ 8 → +1, else −1); positions 32..61 reuse
+    nibble j−32's SECOND bit ((value mod 8) ≥ 4) — two independent vote
+    bits per nibble, so one materialized digest covers up to 62 fingerprint
+    bits with no extra hashing (HOF lambdas do no common-subexpression
+    elimination, so extra md5 calls are the cost that matters). Capped at
+    62 bits to keep the fingerprint a non-negative BIGINT in both engines
+    (bit 63 would flip the sign and break // banding arithmetic).
+    Returned as a non-negative BIGINT."""
+    assert bits <= 62
+    def _vote(j):
+        # separate factory so the merge lambda keeps exactly 2 parameters
+        # (PySpark derives the HOF arity from the signature)
+        if j < 32:
+            def pred(d):
+                return F.instr(F.lit("0123456789abcdef"), F.substring(d, j + 1, 1)) >= 9
+        else:
+            def pred(d):
+                return (
+                    F.pmod(
+                        F.instr(
+                            F.lit("0123456789abcdef"), F.substring(d, j - 32 + 1, 1)
+                        )
+                        - 1,
+                        F.lit(8),
+                    )
+                    >= 4
+                )
+
+        return lambda acc, d: acc + F.when(pred(d), F.lit(1)).otherwise(F.lit(-1))
+
     bit_cols = []
     for j in range(bits):
-        votes = F.aggregate(
-            digests,
-            F.lit(0),
-            lambda acc, d: acc
-            + F.when(
-                F.instr(F.lit("0123456789abcdef"), F.substring(d, j + 1, 1)) >= 9,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
+        votes = F.aggregate(digests, F.lit(0), _vote(j))
         bit_cols.append(F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bit_cols[0].cast("long")
     for c in bit_cols[1:]:

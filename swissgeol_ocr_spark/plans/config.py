@@ -40,3 +40,30 @@ class ExtractConfig:
     # first via the E1 band/word-join rules (assemble.lines_from_words);
     # line confidence = mean of word confidences.
     build_lines_from_words: bool = False
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Scale knobs for the near-dup family.
+
+    The SimHash banded Hamming join is pigeonhole-complete for distance
+    d ≤ bands − 1; fingerprint width = bands × band_bits (≤ 62 so the
+    fingerprint stays a non-negative BIGINT in every engine). Two levers:
+
+    * ``simhash_bands``     — more bands = larger complete distance AND a
+      cheaper per-band key, but more candidate rows per doc
+    * ``simhash_band_bits`` — the bucket-count lever: 2^band_bits values
+      per band. THIS is what must grow with corpus size — at 10^12 docs an
+      8-bit band has only 256 buckets, so each bucket goes quadratic; move
+      to 14-16-bit bands (16k-65k buckets), trading completeness distance
+      (fewer bands at the 62-bit cap) or accepting rescoring recall.
+
+    Default: 8 bands × 7 bits = 56-bit fingerprints, complete for d ≤ 7 —
+    the wide setting (the round-2 default was 4×8 = 32-bit, d ≤ 3)."""
+
+    simhash_bands: int = 8
+    simhash_band_bits: int = 7
+
+    @property
+    def simhash_bits(self) -> int:
+        return self.simhash_bands * self.simhash_band_bits

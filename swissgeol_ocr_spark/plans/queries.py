@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from swissgeol_ocr_spark.functions import simsearch, textops
+from swissgeol_ocr_spark.plans.config import DedupConfig
+
+# module-level default: the Spark query face AND the generated SQL oracles
+# read the same instance, so changing the scale knobs re-sizes both sides
+_DEDUP_CFG = DedupConfig()
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -481,11 +486,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_bit_terms(bits: int) -> str:
-    return " + ".join(
-        "(CASE WHEN list_sum(list_transform(dgs, d -> CASE WHEN "
-        f"instr('0123456789abcdef', substr(d, {j + 1}, 1)) >= 9 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(bits)
+    """DuckDB twin of textops.simhash: bit j < 32 votes on the top bit of
+    md5 nibble j (value ≥ 8); bit j ≥ 32 reuses nibble j−32's second bit
+    ((value mod 8) ≥ 4) — two vote bits per nibble, up to 62 bits from one
+    digest."""
+    terms = []
+    for j in range(bits):
+        if j < 32:
+            pred = f"instr('0123456789abcdef', substr(d, {j + 1}, 1)) >= 9"
+        else:
+            pred = (
+                f"(instr('0123456789abcdef', substr(d, {j - 32 + 1}, 1)) - 1) % 8 >= 4"
+            )
+        terms.append(
+            "(CASE WHEN list_sum(list_transform(dgs, d -> CASE WHEN "
+            f"{pred} "
+            f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _simhash_band_terms(bands: int, band_bits: int) -> str:
+    """DuckDB twin of textops.simhash_band_keys over a non-negative fp."""
+    return ",\n    ".join(
+        f"'{b}:' || CAST((fp // {1 << (b * band_bits)}) % {1 << band_bits} AS VARCHAR)"
+        for b in range(bands)
     )
 
 
@@ -500,19 +525,28 @@ FROM dg
 """
 
 
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via the banded Hamming-neighbor join: 32-bit
-    fingerprints, 4 bands × 8 bits. Any two fingerprints within Hamming
-    distance 3 agree on ≥1 band (pigeonhole over 4 bands), so candidates
-    meet in an equi-join on the compact band key — one shuffle, never an
-    all-pairs product — and are then verified with an exact popcount."""
+def q_dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, config: "DedupConfig | None" = None
+) -> DataFrame:
+    """SimHash near-dup pairs via the banded Hamming-neighbor join, sized
+    by plans.config.DedupConfig (default: 56-bit fingerprints, 8 bands × 7
+    bits — the wide setting). Any two fingerprints within Hamming distance
+    bands−1 agree on ≥1 band (pigeonhole), so candidates meet in an
+    equi-join on the compact band key — one shuffle, never an all-pairs
+    product — and are then verified with an exact popcount. The SQL oracle
+    below is generated from the SAME config values, so the scale knob is
+    exercised end-to-end."""
+    cfg = config or _DEDUP_CFG
+    bits, bands, band_bits = cfg.simhash_bits, cfg.simhash_bands, cfg.simhash_band_bits
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", textops.md5_digests(F.split("text", " ")).alias("dg")
     )
-    fp = docs.select("doc_id", textops.simhash(F.col("dg"), 32).alias("fp"))
+    fp = docs.select("doc_id", textops.simhash(F.col("dg"), bits).alias("fp"))
     banded = fp.select(
         "doc_id", "fp",
-        F.explode(textops.simhash_band_keys(F.col("fp"), bands=4, band_bits=8)).alias("bk"),
+        F.explode(
+            textops.simhash_band_keys(F.col("fp"), bands=bands, band_bits=band_bits)
+        ).alias("bk"),
     )
     cand = (
         banded.alias("a")
@@ -530,7 +564,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
     return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
-        F.col("hamming") <= 3
+        F.col("hamming") <= bands - 1
     )
 
 
@@ -540,20 +574,18 @@ WITH dg AS (
          list_transform(string_split(text, ' '), t -> md5(t)) AS dgs
   FROM documents
 ), fp AS (
-  SELECT doc_id, CAST({_simhash_bit_terms(32)} AS BIGINT) AS fp FROM dg
+  SELECT doc_id, CAST({_simhash_bit_terms(_DEDUP_CFG.simhash_bits)} AS BIGINT) AS fp
+  FROM dg
 ), banded AS (
   SELECT doc_id, fp, unnest([
-    '0:' || CAST(fp % 256 AS VARCHAR),
-    '1:' || CAST((fp // 256) % 256 AS VARCHAR),
-    '2:' || CAST((fp // 65536) % 256 AS VARCHAR),
-    '3:' || CAST((fp // 16777216) % 256 AS VARCHAR)]) AS bk
+    {_simhash_band_terms(_DEDUP_CFG.simhash_bands, _DEDUP_CFG.simhash_band_bits)}]) AS bk
   FROM fp
 ), cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fa, b.fp AS fb
   FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
 )
 SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+FROM cand WHERE bit_count(xor(fa, fb)) <= {_DEDUP_CFG.simhash_bands - 1}
 """
 
 
@@ -681,6 +713,62 @@ SELECT media_ref, crop_w, crop_h, est_bytes,
        CASE WHEN crop_w > 0 AND crop_h > 0 AND NOT (est_bytes > 0.8 * n)
             THEN est_bytes ELSE n END AS eff_bytes
 FROM e
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-pixel media features: decode the corpus's codec-free Netpbm
+    rasters (P6/PPM RGB, P5/PGM stencil) inside the mapInPandas kernel,
+    invert stencils first (P8, reference crop.py:187-190), and reduce the
+    actual pixel bytes to per-image statistics. The DuckDB oracle
+    reconstructs the same raster byte stream in closed form (substring/
+    repeat/ascii arithmetic over the deterministic generator) and reduces
+    it relationally — a hash match means the decode → invert → reduce path
+    produced exactly the right pixels."""
+    from swissgeol_ocr_spark.functions.multimodal import extract_media_features
+    from swissgeol_ocr_spark.sources.corpus import media_table_from_documents
+
+    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media.filter(F.col("kind") == "image"))
+    return feats.select(
+        "media_ref", "doc_id", "is_stencil", "px_w", "px_h",
+        "n_samples", "sum_px", "min_px", "max_px", "n_dark", "mean_px",
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':media'), 1, 8)
+              AS BIGINT) AS h
+  FROM documents
+), img AS (
+  SELECT doc_id, text, h,
+         CAST(h % 13 + 4 AS INT) AS px_w,
+         CAST(h % 7 + 3 AS INT) AS px_h,
+         (h % 7 = 0) AS is_stencil,
+         CASE WHEN h % 7 = 0 THEN 1 ELSE 3 END AS depth
+  FROM m WHERE h % 3 = 0
+), body AS (
+  SELECT doc_id, px_w, px_h, is_stencil,
+         substr(repeat(text || ' ', CAST(ceil(432.0 / (length(text) + 1)) AS INT) + 1),
+                1, px_w * px_h * depth) AS s
+  FROM img
+), px AS (
+  SELECT doc_id, px_w, px_h, is_stencil,
+         list_transform(string_split(s, ''),
+             c -> CASE WHEN is_stencil THEN 255 - ascii(c) ELSE ascii(c) END)
+           AS codes
+  FROM body
+)
+SELECT 'media-' || doc_id AS media_ref, doc_id, is_stencil, px_w, px_h,
+       CAST(len(codes) AS BIGINT) AS n_samples,
+       CAST(list_sum(codes) AS BIGINT) AS sum_px,
+       CAST(list_min(codes) AS INT) AS min_px,
+       CAST(list_max(codes) AS INT) AS max_px,
+       CAST(len(list_filter(codes, c -> c < 64)) AS BIGINT) AS n_dark,
+       floor(list_sum(codes) * 1000000.0 / len(codes)) / 1000000.0 AS mean_px
+FROM px
 """
 
 
@@ -904,12 +992,18 @@ WITH planes AS (
            AS bucket
   FROM proj GROUP BY vec_id
 ), q AS (
-  SELECT e.embedding AS qvec, b.bucket AS qbucket
+  -- multi-probe: the query's bucket plus its 8 Hamming-1 neighbors
+  SELECT e.embedding AS qvec,
+         unnest([b.bucket,
+                 xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4),
+                 xor(b.bucket, 8), xor(b.bucket, 16), xor(b.bucket, 32),
+                 xor(b.bucket, 64), xor(b.bucket, 128)]) AS probe
   FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id = 0
 ), cand AS (
   SELECT e.vec_id, e.embedding, q.qvec
-  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, q
-  WHERE b.bucket = q.qbucket AND e.vec_id <> 0
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  JOIN q ON b.bucket = q.probe
+  WHERE e.vec_id <> 0
 ), expl AS (
   SELECT vec_id,
          CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1427,6 +1521,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "c6_spatial_antijoin": (q_c6_spatial_antijoin, SQL_C6),
     "p6_crop_accept": (q_p6_crop_accept, SQL_P6),
     "p7_downscale_budget": (q_p7_downscale_budget, SQL_P7),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "word_positions": (q_word_positions, SQL_WORD_POS),
     "set_except": (q_set_except, SQL_SET_EXCEPT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

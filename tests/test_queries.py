@@ -114,20 +114,80 @@ def test_jaccard_hot_shingle_cap(spark, tmp_path):
 
 
 def test_simhash_band_pigeonhole():
-    """Any two 32-bit fingerprints within Hamming distance 3 must share at
-    least one of the 4 × 8-bit band keys (the join-completeness guarantee
-    behind dedup_simhash_pairs)."""
+    """Any two fingerprints within Hamming distance bands−1 must share at
+    least one band key (the join-completeness guarantee behind
+    dedup_simhash_pairs), at BOTH the narrow 32-bit/4×8 setting and the
+    registered wide setting from DedupConfig (56-bit/8×7 → complete d≤7)."""
     import random
 
+    from swissgeol_ocr_spark.plans.config import DedupConfig
+
+    cfg = DedupConfig()
+    settings = [(32, 4, 8), (cfg.simhash_bits, cfg.simhash_bands, cfg.simhash_band_bits)]
+    assert (cfg.simhash_bands, cfg.simhash_band_bits) == (8, 7)  # the wide default
     rng = random.Random(7)
-    for _ in range(2000):
-        a = rng.getrandbits(32)
-        b = a
-        for bit in rng.sample(range(32), rng.randint(0, 3)):
-            b ^= 1 << bit
-        bands_a = [(i, (a >> (8 * i)) & 255) for i in range(4)]
-        bands_b = [(i, (b >> (8 * i)) & 255) for i in range(4)]
-        assert set(bands_a) & set(bands_b), (a, b)
+    for bits, bands, band_bits in settings:
+        mask = (1 << band_bits) - 1
+        for _ in range(2000):
+            a = rng.getrandbits(bits)
+            b = a
+            for bit in rng.sample(range(bits), rng.randint(0, bands - 1)):
+                b ^= 1 << bit
+            bands_a = [(i, (a >> (band_bits * i)) & mask) for i in range(bands)]
+            bands_b = [(i, (b >> (band_bits * i)) & mask) for i in range(bands)]
+            assert set(bands_a) & set(bands_b), (bits, bands, a, b)
+
+
+def test_simhash_banded_join_complete_wide(spark):
+    """End-to-end completeness at the wide setting: run the banded join of
+    simhash_band_keys over synthetic 56-bit fingerprints and compare
+    against the exact all-pairs Hamming ≤ 7 ground truth."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.functions.textops import simhash_band_keys
+    from swissgeol_ocr_spark.plans.config import DedupConfig
+
+    cfg = DedupConfig()
+    rng = random.Random(41)
+    fps = [rng.getrandbits(cfg.simhash_bits) for _ in range(120)]
+    # plant near pairs at every distance 0..7 (including bit positions in
+    # the top band, where a sign bug would bite)
+    for d in range(8):
+        base = rng.getrandbits(cfg.simhash_bits)
+        other = base
+        for bit in rng.sample(range(cfg.simhash_bits), d):
+            other ^= 1 << bit
+        fps += [base, other]
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "vid long, fp long"
+    )
+    banded = df.select(
+        "vid", "fp",
+        F.explode(
+            simhash_band_keys(
+                F.col("fp"), bands=cfg.simhash_bands, band_bits=cfg.simhash_band_bits
+            )
+        ).alias("bk"),
+    )
+    got = {
+        (r.a, r.b)
+        for r in banded.alias("x")
+        .join(banded.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.vid") < F.col("y.vid")))
+        .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"),
+                F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))).alias("h"))
+        .filter(F.col("h") <= cfg.simhash_bands - 1)
+        .distinct()
+        .collect()
+    }
+    expected = {
+        (i, j)
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if bin(fps[i] ^ fps[j]).count("1") <= cfg.simhash_bands - 1
+    }
+    assert got == expected
 
 
 def test_connected_components_star_adversarial(spark):
