@@ -285,15 +285,26 @@ def lsh_ann(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scoring to the query's LSH
-    bucket. At fleet scale the bucket column is precomputed+partitioned, so
-    a query touches one partition instead of the whole corpus."""
+    bucket and its ``n_planes`` Hamming-1 neighbor buckets (multi-probe —
+    a true neighbor that straddles ONE hyperplane lands one bit away, so
+    probing the 1-bit ring recovers most of the single-bucket recall loss
+    at (n_planes+1)/2^n_planes of the corpus scanned). At fleet scale the
+    bucket column is precomputed+partitioned, so a query touches
+    n_planes+1 partitions instead of the whole corpus; the probe set stays
+    broadcast-size."""
     with_bucket = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes))
-    q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"), F.col("_bucket").alias("_qbucket")
+    probes = F.array(
+        F.col("_qbucket"),
+        *[F.col("_qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    q = (
+        with_bucket.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).alias("_qvec"), F.col("_bucket").alias("_qbucket"))
+        .select("_qvec", F.explode(probes).alias("_probe"))
     )
     scored = (
         with_bucket.filter(F.col(id_col) != query_vec_id)
-        .join(F.broadcast(q), F.col("_bucket") == F.col("_qbucket"))
+        .join(F.broadcast(q), F.col("_bucket") == F.col("_probe"))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
