@@ -16,6 +16,12 @@ is:
 plus a windowed metrics stream standing in for the /collect polling
 surface: per-window counts of processed documents and spans.
 
+For raw ingestion (spans arriving as individual out-of-order EVENTS
+before documents exist), ``reassemble_spans_stream`` is a custom stateful
+operator over ``applyInPandasWithState``: per-doc state accumulation,
+at-least-once dedup, completion detection via the declared span count,
+processing-time timeout quarantine — then the same batch kernel.
+
 Everything here reuses the batch kernel — one code path, two execution
 modes (Spark's own batch/streaming unification).
 """
@@ -64,6 +70,145 @@ def metrics_stream(extracted: DataFrame, window: str = "1 minute") -> DataFrame:
             "n_docs",
             "n_spans_out",
         )
+    )
+
+
+def span_event_schema() -> str:
+    """One span EVENT per row — the raw ingestion shape before documents
+    are assembled (a crawler/scanner emits spans as it finds them, out of
+    order, possibly duplicated by an at-least-once source). ``n_total`` is
+    the document's declared span count (the end-of-document manifest a real
+    ingestion protocol carries)."""
+    return (
+        "doc_id string, kind string, text string, media_ref string, "
+        "offset int, page_no int, x0 double, y0 double, x1 double, "
+        "y1 double, confidence double, orientation double, n_total int"
+    )
+
+
+_REASSEMBLE_OUT = (
+    "doc_id string, kind string, text string, media_ref string, "
+    "offset int, status string"
+)
+_REASSEMBLE_STATE = (
+    "kinds array<string>, texts array<string>, medias array<string>, "
+    "offsets array<int>, pages array<int>, rects array<double>, "
+    "confs array<double>, orients array<double>, n_total int"
+)
+
+
+def reassemble_spans_stream(
+    events: DataFrame,
+    config: ExtractConfig | None = None,
+    timeout_ms: int = 600_000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    assemble out-of-order span events into whole documents and extract
+    each document the moment its last span arrives.
+
+    Per doc_id, state accumulates the spans seen so far (deduplicated by
+    ``offset`` — at-least-once sources redeliver); when the count reaches
+    the declared ``n_total`` the batch extraction kernel
+    (operators/extract.extract_document — the SAME kernel as batch mode)
+    runs on the assembled, offset-ordered arrays and the ordered output
+    span sequence is emitted with status 'ok'. A document whose tail never
+    arrives times out on the processing-time clock and is quarantined with
+    a single status='timeout' marker row (the streaming twin of the batch
+    salvage-then-quarantine path) — state is dropped either way, so the
+    store holds only in-flight documents.
+
+    Scale shape: one shuffle on doc_id (the state key — the same key the
+    batch pipeline buckets by); state size is bounded by in-flight docs ×
+    span payload, and the timeout bounds in-flight lifetime."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from swissgeol_ocr_spark.operators.extract import extract_document
+
+    cfg = config or ExtractConfig()
+
+    def _emit(doc_id: str, kinds, texts, medias, offsets, pages, rects, confs, orients):
+        order = np.argsort(np.asarray(offsets, dtype=np.int64), kind="stable")
+        out = extract_document(
+            [kinds[i] for i in order],
+            [texts[i] for i in order],
+            [medias[i] for i in order],
+            np.asarray(offsets, dtype=np.int64)[order],
+            np.asarray(pages, dtype=np.int64)[order],
+            np.asarray(rects, dtype=np.float64).reshape(-1, 4)[order],
+            np.asarray(confs, dtype=np.float64)[order],
+            np.asarray(orients, dtype=np.float64)[order],
+            cfg,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id] * len(out),
+                "kind": [k for k, _, _, _ in out],
+                "text": [t for _, t, _, _ in out],
+                "media_ref": [m for _, _, m, _ in out],
+                "offset": [o for _, _, _, o in out],
+                "status": ["ok"] * len(out),
+            }
+        )
+
+    def reassemble(key, pdfs, state: GroupState):
+        (doc_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [doc_id], "kind": [""], "text": [""],
+                    "media_ref": [""], "offset": [-1], "status": ["timeout"],
+                }
+            )
+            return
+
+        if state.exists:
+            kinds, texts, medias, offsets, pages, rects, confs, orients, n_total = (
+                state.get
+            )
+            kinds, texts, medias = list(kinds), list(texts), list(medias)
+            offsets, pages = list(offsets), list(pages)
+            rects, confs, orients = list(rects), list(confs), list(orients)
+        else:
+            kinds, texts, medias, offsets, pages = [], [], [], [], []
+            rects, confs, orients = [], [], []
+            n_total = -1
+
+        seen = set(offsets)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                n_total = int(r.n_total)
+                off = int(r.offset)
+                if off in seen:  # at-least-once redelivery
+                    continue
+                seen.add(off)
+                kinds.append(r.kind)
+                texts.append(r.text)
+                medias.append(r.media_ref)
+                offsets.append(off)
+                pages.append(int(r.page_no))
+                rects.extend((float(r.x0), float(r.y0), float(r.x1), float(r.y1)))
+                confs.append(float(r.confidence))
+                orients.append(float(r.orientation))
+
+        if n_total >= 0 and len(offsets) >= n_total:
+            state.remove()
+            yield _emit(doc_id, kinds, texts, medias, offsets, pages, rects, confs, orients)
+        else:
+            state.update(
+                (kinds, texts, medias, offsets, pages, rects, confs, orients, n_total)
+            )
+            state.setTimeoutDuration(timeout_ms)
+
+    return events.groupBy("doc_id").applyInPandasWithState(
+        reassemble,
+        outputStructType=_REASSEMBLE_OUT,
+        stateStructType=_REASSEMBLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -277,3 +277,65 @@ def test_stream_matches_batch_word_granularity(spark, sf_dir, tmp_path):
         for r in extract_pipeline(spans, cfg, repartition=False).collect()
     }
     assert stream_out == batch_out
+
+
+def test_stateful_reassembly_matches_batch(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState span-event reassembly must reproduce the
+    batch pipeline's output exactly, from shuffled + duplicated events;
+    a document missing its tail emits nothing (state held for timeout)."""
+    from swissgeol_ocr_spark.streaming.pipeline import (
+        reassemble_spans_stream,
+        span_event_schema,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    spans = documents_to_spans(docs)
+
+    events = spans.select(
+        "doc_id", F.size("spans").alias("n_total"), F.explode("spans").alias("s")
+    ).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset", "s.page_no",
+        "s.x0", "s.y0", "s.x1", "s.y1", "s.confidence", "s.orientation",
+        "n_total",
+    )
+    # drop the LAST event of one document → it must never be emitted
+    incomplete_id = str(docs.select("doc_id").orderBy("doc_id").first().doc_id)
+    last_off = (
+        events.filter(F.col("doc_id") == incomplete_id)
+        .agg(F.max("offset"))
+        .first()[0]
+    )
+    events = events.filter(
+        ~((F.col("doc_id") == incomplete_id) & (F.col("offset") == last_off))
+    )
+    # shuffle arrival order + duplicate ~20% (at-least-once redelivery)
+    dupes = events.sample(0.2, seed=7)
+    scrambled = events.union(dupes).orderBy(F.rand(11))
+    in_dir = str(tmp_path / "events")
+    scrambled.repartition(6).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(span_event_schema()).parquet(in_dir)
+    out = reassemble_spans_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reassembled")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM reassembled").collect():
+        assert r.status == "ok"
+        got.setdefault(r.doc_id, []).append((r.kind, r.text, r.media_ref, r.offset))
+    for doc in got:
+        got[doc].sort(key=lambda t: t[3])
+
+    expected = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(spans, repartition=False).collect()
+        if r.doc_id != incomplete_id
+    }
+    assert incomplete_id not in got
+    assert got == expected
