@@ -111,3 +111,35 @@ def test_twin_matches_kernel_adversarial(cfg_kind):
         got_twin = ref_twin.twin_extract(spans, **twin_kw)
         got_kernel = run_kernel(spans, cfg)
         assert got_twin == got_kernel, (cfg_kind, trial, spans)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_span_strategy = st.tuples(
+    st.sampled_from(["text", "path", "media", "ocr-text"]),
+    st.sampled_from(["", "alpha beta", "gamma delta"]),
+    st.integers(0, 1),  # page
+    st.floats(0, 400, allow_nan=False, width=16),
+    st.floats(0, 600, allow_nan=False, width=16),
+    st.floats(0, 200, allow_nan=False, width=16),
+    st.floats(0, 40, allow_nan=False, width=16),
+    st.sampled_from([0.5, 0.72, 0.9, 1.0]),
+).map(
+    lambda t: (
+        t[0], t[1], "", t[2],
+        (t[3], t[4], t[3] + t[5], t[4] + t[6]),
+        t[7], 0.0,
+    )
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_span_strategy, min_size=1, max_size=22), st.sampled_from(list(CONFIGS)))
+def test_twin_matches_kernel_property(spans, cfg_kind):
+    """Arbitrary float geometry, all strategies: the naive reference-shaped
+    twin and the vectorized kernel must emit identical span sequences
+    (width-16 floats make exact coordinate ties common — the documented
+    lowest-index rule must hold in both)."""
+    cfg, twin_kw = CONFIGS[cfg_kind]
+    assert ref_twin.twin_extract(spans, **twin_kw) == run_kernel(spans, cfg)
