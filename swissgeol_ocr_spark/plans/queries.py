@@ -772,6 +772,65 @@ FROM px
 """
 
 
+def q_media_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 format normalization (reference crop.py:126-142: viewer-hostile
+    JPX/JP2 re-encoded to JPG) as an oracled relational face."""
+    from swissgeol_ocr_spark.functions.multimodal import normalize_media
+    from swissgeol_ocr_spark.sources.corpus import media_table_from_documents
+
+    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    return normalize_media(media).select(
+        "media_ref",
+        "kind",
+        F.col("meta.format").alias("norm_format"),
+    )
+
+
+SQL_MEDIA_NORMALIZE = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':media'), 1, 8)
+              AS BIGINT) AS h
+  FROM documents
+)
+SELECT 'media-' || doc_id AS media_ref,
+       CASE WHEN h % 3 = 0 THEN 'image'
+            WHEN h % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE WHEN h % 5 IN (0, 1) THEN 'jpg'
+            WHEN h % 5 = 2 THEN 'jpg'
+            WHEN h % 5 = 3 THEN 'png' ELSE 'mp4' END AS norm_format
+FROM m
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame offset (an
+    explode over a generated sequence — frames inherit the media row's
+    partition, no shuffle)."""
+    from swissgeol_ocr_spark.functions.multimodal import sample_frames
+    from swissgeol_ocr_spark.sources.corpus import media_table_from_documents
+
+    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000).select(
+        "media_ref", "doc_id", F.col("frame_offset_ms").cast("bigint").alias("frame_offset_ms")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':media'), 1, 8)
+              AS BIGINT) AS h
+  FROM documents
+), v AS (
+  SELECT doc_id, h % 60000 + 1000 AS duration_ms FROM m WHERE h % 3 = 2
+)
+SELECT 'media-' || doc_id AS media_ref, doc_id,
+       CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT) AS frame_offset_ms
+FROM v
+"""
+
+
 def q_c6_spatial_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 mask suppression as a relational spatial anti-join: candidate
     rects that do NOT intersect any keep-out rect (the reference's
@@ -1522,6 +1581,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "p6_crop_accept": (q_p6_crop_accept, SQL_P6),
     "p7_downscale_budget": (q_p7_downscale_budget, SQL_P7),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "media_normalize": (q_media_normalize, SQL_MEDIA_NORMALIZE),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "word_positions": (q_word_positions, SQL_WORD_POS),
     "set_except": (q_set_except, SQL_SET_EXCEPT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
