@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Print formatted physical plans for the round-3 queries (PLANS.md
-evidence): media_features, dedup_simhash_pairs (wide), dedup_clusters
-(star CC — first-round plan), lsh_ann (multi-probe).
+evidence): media_features, dedup_simhash_pairs (wide), lsh_ann
+(multi-probe), ivf_ann_trained.
+
+dedup_clusters is deliberately NOT here: its star-CC loop localCheckpoints
+every round, so even constructing the final plan executes jobs — its scale
+argument is the per-round shape (two grouped aggregations on the node key)
+documented in PLANS.md and pinned by the chain/union-find tests.
 
 Usage: python scripts/plan_audit.py [sf_dir]
 """

@@ -71,17 +71,25 @@ def decode_raster(payload: bytes) -> tuple[np.ndarray, bool] | None:
     Netpbm raster (codec formats fall back to the declared stub)."""
     if payload is None or not (payload.startswith(b"P6") or payload.startswith(b"P5")):
         return None
+    # a malformed header must mean "not a decodable raster" (stub fallback),
+    # never an exception out of the Spark task — at corpus scale a single
+    # poison payload would otherwise fail the job
     try:
-        magic, dims, _maxval, raw = payload.split(b"\n", 3)
+        magic, dims, maxval, raw = payload.split(b"\n", 3)
+        w, h = (int(t) for t in dims.split())
+        if int(maxval) != 255:
+            # maxval > 255 means 2 bytes/sample (Netpbm spec) — unsupported
+            # here; mis-decoding it as uint8 would emit wrong features with
+            # decoded=true
+            return None
+        depth = 3 if magic == b"P6" else 1
+        n = w * h * depth
+        if n <= 0 or len(raw) < n:
+            return None
+        px = np.frombuffer(raw[:n], dtype=np.uint8)
+        px = px.reshape(h, w, 3) if depth == 3 else px.reshape(h, w)
     except ValueError:
         return None
-    w, h = (int(t) for t in dims.split())
-    depth = 3 if magic == b"P6" else 1
-    n = w * h * depth
-    if len(raw) < n:
-        return None
-    px = np.frombuffer(raw[:n], dtype=np.uint8)
-    px = px.reshape(h, w, 3) if depth == 3 else px.reshape(h, w)
     return px, magic == b"P5"
 
 

@@ -93,7 +93,7 @@ _REASSEMBLE_OUT = (
 _REASSEMBLE_STATE = (
     "kinds array<string>, texts array<string>, medias array<string>, "
     "offsets array<int>, pages array<int>, rects array<double>, "
-    "confs array<double>, orients array<double>, n_total int"
+    "confs array<double>, orients array<double>, n_total int, done boolean"
 )
 
 
@@ -106,16 +106,23 @@ def reassemble_spans_stream(
     assemble out-of-order span events into whole documents and extract
     each document the moment its last span arrives.
 
-    Per doc_id, state accumulates the spans seen so far (deduplicated by
-    ``offset`` — at-least-once sources redeliver); when the count reaches
-    the declared ``n_total`` the batch extraction kernel
+    Per doc_id, state accumulates the spans seen so far. Redeliveries from
+    an at-least-once source are deduplicated by the FULL event value (two
+    genuinely distinct spans may share an ``offset`` — the batch kernel
+    supports duplicate offsets, so the event contract does too; only a
+    byte-identical event counts as a redelivery). Null numeric fields get
+    the batch salvage rule (null → 0) instead of crashing the query on a
+    poison event. When the distinct-span count reaches the declared
+    ``n_total``, the batch extraction kernel
     (operators/extract.extract_document — the SAME kernel as batch mode)
     runs on the assembled, offset-ordered arrays and the ordered output
-    span sequence is emitted with status 'ok'. A document whose tail never
+    span sequence is emitted with status 'ok'; the state then holds a
+    small DONE tombstone for one timeout period so a late redelivery of an
+    already-emitted document is ignored rather than resurrecting state and
+    later emitting a spurious quarantine row. A document whose tail never
     arrives times out on the processing-time clock and is quarantined with
     a single status='timeout' marker row (the streaming twin of the batch
-    salvage-then-quarantine path) — state is dropped either way, so the
-    store holds only in-flight documents.
+    salvage-then-quarantine path).
 
     Scale shape: one shuffle on doc_id (the state key — the same key the
     batch pipeline buckets by); state size is bounded by in-flight docs ×
@@ -153,22 +160,37 @@ def reassemble_spans_stream(
             }
         )
 
+    def _num(v, default=0.0):
+        # batch salvage rule for poison events: null/NaN numeric → default
+        return default if v is None or (isinstance(v, float) and v != v) else float(v)
+
+    _DONE = ([], [], [], [], [], [], [], [], -1, True)
+
     def reassemble(key, pdfs, state: GroupState):
         (doc_id,) = key
         if state.hasTimedOut:
+            was_done = state.exists and bool(state.get[-1])
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "doc_id": [doc_id], "kind": [""], "text": [""],
-                    "media_ref": [""], "offset": [-1], "status": ["timeout"],
-                }
-            )
+            if not was_done:  # a DONE tombstone expiring is not a quarantine
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [doc_id], "kind": [""], "text": [""],
+                        "media_ref": [""], "offset": [-1], "status": ["timeout"],
+                    }
+                )
             return
 
         if state.exists:
-            kinds, texts, medias, offsets, pages, rects, confs, orients, n_total = (
-                state.get
-            )
+            (kinds, texts, medias, offsets, pages, rects, confs, orients,
+             n_total, done) = state.get
+            if done:
+                # already emitted: late redeliveries are ignored; keep the
+                # tombstone for one more timeout period
+                for _ in pdfs:
+                    pass
+                state.update(_DONE)
+                state.setTimeoutDuration(timeout_ms)
+                return
             kinds, texts, medias = list(kinds), list(texts), list(medias)
             offsets, pages = list(offsets), list(pages)
             rects, confs, orients = list(rects), list(confs), list(orients)
@@ -177,29 +199,45 @@ def reassemble_spans_stream(
             rects, confs, orients = [], [], []
             n_total = -1
 
-        seen = set(offsets)
+        # redelivery dedup by FULL event value (distinct spans may share an
+        # offset; only a byte-identical event is a redelivery)
+        seen = {
+            (kinds[i], texts[i], medias[i], offsets[i], pages[i],
+             rects[4 * i], rects[4 * i + 1], rects[4 * i + 2], rects[4 * i + 3],
+             confs[i], orients[i])
+            for i in range(len(offsets))
+        }
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
-                n_total = int(r.n_total)
-                off = int(r.offset)
-                if off in seen:  # at-least-once redelivery
+                nt = _num(r.n_total, -1.0)
+                if nt >= 0:
+                    n_total = int(nt)
+                row = (
+                    r.kind or "", r.text or "", r.media_ref or "",
+                    int(_num(r.offset)), int(_num(r.page_no)),
+                    _num(r.x0), _num(r.y0), _num(r.x1), _num(r.y1),
+                    _num(r.confidence), _num(r.orientation),
+                )
+                if row in seen:  # at-least-once redelivery
                     continue
-                seen.add(off)
-                kinds.append(r.kind)
-                texts.append(r.text)
-                medias.append(r.media_ref)
-                offsets.append(off)
-                pages.append(int(r.page_no))
-                rects.extend((float(r.x0), float(r.y0), float(r.x1), float(r.y1)))
-                confs.append(float(r.confidence))
-                orients.append(float(r.orientation))
+                seen.add(row)
+                kinds.append(row[0])
+                texts.append(row[1])
+                medias.append(row[2])
+                offsets.append(row[3])
+                pages.append(row[4])
+                rects.extend(row[5:9])
+                confs.append(row[9])
+                orients.append(row[10])
 
         if n_total >= 0 and len(offsets) >= n_total:
-            state.remove()
+            state.update(_DONE)
+            state.setTimeoutDuration(timeout_ms)
             yield _emit(doc_id, kinds, texts, medias, offsets, pages, rects, confs, orients)
         else:
             state.update(
-                (kinds, texts, medias, offsets, pages, rects, confs, orients, n_total)
+                (kinds, texts, medias, offsets, pages, rects, confs, orients,
+                 n_total, False)
             )
             state.setTimeoutDuration(timeout_ms)
 

@@ -279,6 +279,29 @@ def test_stream_matches_batch_word_granularity(spark, sf_dir, tmp_path):
     assert stream_out == batch_out
 
 
+def _drain_stateful(q, timeout=150):
+    """Drain an availableNow stateful query: with ProcessingTimeTimeout the
+    engine keeps running (empty) micro-batches to evaluate state timeouts,
+    so the query NEVER self-terminates and processAllAvailable can block —
+    instead, watch progress until a data batch committed and the engine has
+    gone idle on the source (an empty batch after data), then stop."""
+    import time
+
+    t0 = time.time()
+    seen_data = False
+    while time.time() - t0 < timeout:
+        p = q.lastProgress
+        if p is not None:
+            if p["numInputRows"] > 0:
+                seen_data = True
+            elif seen_data:
+                break
+        time.sleep(0.5)
+    assert seen_data, "stream never processed a data batch"
+    q.stop()
+    q.awaitTermination(30)
+
+
 def test_stateful_reassembly_matches_batch(spark, sf_dir, tmp_path):
     """The applyInPandasWithState span-event reassembly must reproduce the
     batch pipeline's output exactly, from shuffled + duplicated events;
@@ -323,7 +346,7 @@ def test_stateful_reassembly_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _drain_stateful(q)
 
     got = {}
     for r in spark.sql("SELECT * FROM reassembled").collect():
@@ -339,3 +362,80 @@ def test_stateful_reassembly_matches_batch(spark, sf_dir, tmp_path):
     }
     assert incomplete_id not in got
     assert got == expected
+
+
+def test_stateful_reassembly_edge_cases(spark, tmp_path):
+    """Review regressions: (a) two DISTINCT spans sharing an offset must
+    both survive (only byte-identical events are redeliveries), (b) null
+    numeric fields get the batch salvage rule instead of crashing the
+    query, (c) a redelivery arriving AFTER a document completed is ignored
+    (DONE tombstone) — no duplicate output, no spurious quarantine."""
+    from swissgeol_ocr_spark.streaming.pipeline import (
+        reassemble_spans_stream,
+        span_event_schema,
+    )
+
+    def ev(doc, kind, text, off, page, n_total, conf=1.0):
+        return (doc, kind, text, "", off, page, 10.0, 10.0, 60.0, 22.0, conf, 0.0, n_total)
+
+    rows = [
+        # doc a: offsets 0,0,1 — three distinct spans, duplicate offset
+        ev("a", "text", "first", 0, 0, 3),
+        ev("a", "text", "second", 0, 0, 3),
+        ev("a", "text", "third", 1, 0, 3),
+        # doc b: null offset/page/conf on one event → salvage (null→0)
+        ("b", "text", "nullish", "", None, None, 10.0, 10.0, 60.0, 22.0, None, 0.0, 2),
+        ev("b", "text", "solid", 1, 0, 2),
+    ]
+    in_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows, span_event_schema()).repartition(2).write.parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(span_event_schema()).parquet(in_dir)
+        q = (
+            reassemble_spans_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stateful(q)
+        return spark.read.parquet(out_dir).collect()
+
+    out1 = run_once()
+    by_doc = {}
+    for r in out1:
+        assert r.status == "ok", r
+        by_doc.setdefault(r.doc_id, []).append((r.kind, r.text))
+    assert sorted(by_doc["a"]) == [("text", "first"), ("text", "second"), ("text", "third")]
+    assert sorted(by_doc["b"]) == [("text", "nullish"), ("text", "solid")]
+
+    # (c) redeliver one event of completed doc a → tombstone ignores it
+    spark.createDataFrame([ev("a", "text", "first", 0, 0, 3)], span_event_schema()) \
+        .write.mode("append").parquet(in_dir)
+    out2 = run_once()
+    assert len(out2) == len(out1)  # nothing new emitted, no timeout row
+
+
+def test_decode_raster_rejects_malformed():
+    """Poison payloads must mean 'not a raster' (stub fallback), never an
+    exception out of the Spark task."""
+    from swissgeol_ocr_spark.functions.multimodal import decode_raster
+
+    bad = [
+        b"P6\nfoo bar\n255\ndata",          # non-numeric dims
+        b"P6\n12\n255\ndata",               # wrong arity
+        b"P6\n-2 3\n255\n" + b"x" * 64,     # negative dims
+        b"P6\n0 0\n255\n",                  # zero-area
+        b"P6\n2 2\n65535\n" + b"x" * 24,    # 2-byte samples unsupported
+        b"P6\n2 2\n255\nxy",                # truncated body
+        b"P5",                              # header only
+    ]
+    for payload in bad:
+        assert decode_raster(payload) is None, payload
+    ok = decode_raster(b"P6\n2 2\n255\n" + bytes(range(12)))
+    assert ok is not None and ok[0].shape == (2, 2, 3)
