@@ -99,6 +99,27 @@ def invert_stencil(px: np.ndarray) -> np.ndarray:
     return (255 - px.astype(np.int32)).astype(np.uint8)
 
 
+def downscale_raster_x2(payload: bytes) -> bytes | None:
+    """REAL half-resolution resize of a Netpbm raster — the pixel leg of
+    the P7 budget loop (reference crop.py:145-180 ``downscale_images_x2``:
+    ``img.resize((width // 2, height // 2))``, skipped when either halved
+    dimension is 0). Codec-free analog: stride-2 nearest-neighbor sampling
+    to exactly (w//2, h//2), re-encoded as the same P6/P5 format. Returns
+    None when the payload is not a decodable raster or is too small to
+    halve (the reference's ``continue``)."""
+    decoded = decode_raster(payload)
+    if decoded is None:
+        return None
+    px, is_stencil = decoded
+    h, w = px.shape[0], px.shape[1]
+    hw, hh = w // 2, h // 2
+    if hw <= 0 or hh <= 0:
+        return None
+    half = px[: 2 * hh : 2, : 2 * hw : 2]
+    magic = b"P5" if is_stencil else b"P6"
+    return magic + b"\n" + f"{hw} {hh}".encode() + b"\n255\n" + half.tobytes()
+
+
 def normalize_media(media: DataFrame) -> DataFrame:
     """P5 (crop.py:126-142): viewer-hostile formats are re-encoded. As a
     metadata transform: jpx/jp2 become jpg; payload passthrough (the stub
@@ -184,6 +205,30 @@ def crop_to_visible(media: DataFrame) -> DataFrame:
         F.when(accepted, crop_h).otherwise(h).alias("eff_height"),
         F.when(accepted, est).otherwise(n).alias("eff_bytes"),
     )
+
+
+def downscale_media(media: DataFrame) -> DataFrame:
+    """Half-resolution resize as a DataFrame operator: the payload column
+    is replaced by its ``downscale_raster_x2`` re-encode inside a
+    ``mapInPandas`` kernel (rows whose payload is not a halvable raster
+    pass through unchanged — the reference skips those images,
+    crop.py:161-163). Composes with ``extract_media_features``:
+    features-of-downscaled is literally
+    ``extract_media_features(downscale_media(df))``. No shuffle; rows keep
+    their partitions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else None
+                half = downscale_raster_x2(raw) if raw is not None else None
+                out.append(half if half is not None else p)
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return media.mapInPandas(kernel, media.schema)
 
 
 def extract_media_features(media: DataFrame, batch_size: int = 64) -> DataFrame:

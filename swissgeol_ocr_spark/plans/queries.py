@@ -772,6 +772,76 @@ FROM px
 """
 
 
+def q_media_downscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-pixel half-resolution resize composed with feature extraction:
+    ``extract_media_features(downscale_media(images))`` — the pixel leg of
+    the P7 budget loop (reference crop.py:145-180 halves with
+    ``img.resize((w//2, h//2))``; here stride-2 sampling over the decoded
+    raster, re-encoded and re-decoded). The oracle reconstructs the same
+    byte stream and applies the identical stride-2 index filter
+    relationally, so a hash match proves the resize produced exactly the
+    right pixels."""
+    from swissgeol_ocr_spark.functions.multimodal import (
+        downscale_media,
+        extract_media_features,
+    )
+    from swissgeol_ocr_spark.sources.corpus import media_table_from_documents
+
+    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(
+        downscale_media(media.filter(F.col("kind") == "image"))
+    )
+    return feats.select(
+        "media_ref", "doc_id", "is_stencil", "px_w", "px_h",
+        "n_samples", "sum_px", "min_px", "max_px", "n_dark", "mean_px",
+    )
+
+
+SQL_MEDIA_DOWNSCALE = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':media'), 1, 8)
+              AS BIGINT) AS h
+  FROM documents
+), img AS (
+  SELECT doc_id, text, h,
+         CAST(h % 13 + 4 AS INT) AS pw,
+         CAST(h % 7 + 3 AS INT) AS ph,
+         (h % 7 = 0) AS is_stencil,
+         CASE WHEN h % 7 = 0 THEN 1 ELSE 3 END AS depth
+  FROM m WHERE h % 3 = 0
+), body AS (
+  SELECT doc_id, pw, ph, is_stencil, depth,
+         substr(repeat(text || ' ', CAST(ceil(432.0 / (length(text) + 1)) AS INT) + 1),
+                1, pw * ph * depth) AS s
+  FROM img
+), px AS (
+  -- stride-2 sample: keep sample i (1-based) whose pixel lands on an even
+  -- row/col inside the floor-halved extent (pixel = (i-1)//depth,
+  -- row = pixel//pw, col = pixel%pw)
+  SELECT doc_id, pw, ph, is_stencil, depth,
+         list_transform(
+           list_filter(string_split(s, ''),
+             (c, i) -> ((i - 1) // depth // pw) % 2 = 0
+                   AND ((i - 1) // depth // pw) < 2 * (ph // 2)
+                   AND ((i - 1) // depth % pw) % 2 = 0
+                   AND ((i - 1) // depth % pw) < 2 * (pw // 2)),
+           c -> CASE WHEN is_stencil THEN 255 - ascii(c) ELSE ascii(c) END)
+           AS codes
+  FROM body
+)
+SELECT 'media-' || doc_id AS media_ref, doc_id, is_stencil,
+       CAST(pw // 2 AS INT) AS px_w, CAST(ph // 2 AS INT) AS px_h,
+       CAST(len(codes) AS BIGINT) AS n_samples,
+       CAST(list_sum(codes) AS BIGINT) AS sum_px,
+       CAST(list_min(codes) AS INT) AS min_px,
+       CAST(list_max(codes) AS INT) AS max_px,
+       CAST(len(list_filter(codes, c -> c < 64)) AS BIGINT) AS n_dark,
+       floor(list_sum(codes) * 1000000.0 / len(codes)) / 1000000.0 AS mean_px
+FROM px
+"""
+
+
 def q_media_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 format normalization (reference crop.py:126-142: viewer-hostile
     JPX/JP2 re-encoded to JPG) as an oracled relational face."""
@@ -1582,6 +1652,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "p7_downscale_budget": (q_p7_downscale_budget, SQL_P7),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_normalize": (q_media_normalize, SQL_MEDIA_NORMALIZE),
+    "media_downscale": (q_media_downscale, SQL_MEDIA_DOWNSCALE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "word_positions": (q_word_positions, SQL_WORD_POS),
     "set_except": (q_set_except, SQL_SET_EXCEPT),

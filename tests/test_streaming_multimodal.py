@@ -439,3 +439,30 @@ def test_decode_raster_rejects_malformed():
         assert decode_raster(payload) is None, payload
     ok = decode_raster(b"P6\n2 2\n255\n" + bytes(range(12)))
     assert ok is not None and ok[0].shape == (2, 2, 3)
+
+
+def test_downscale_raster_x2_exact():
+    """Stride-2 halving to exactly (w//2, h//2) — the reference's
+    img.resize((w//2, h//2)) analog — with too-small rasters skipped."""
+    import numpy as np
+
+    from swissgeol_ocr_spark.functions.multimodal import (
+        decode_raster,
+        downscale_raster_x2,
+    )
+
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)  # 4x3 RGB
+    payload = b"P6\n4 3\n255\n" + px.tobytes()
+    half = downscale_raster_x2(payload)
+    dec, is_stencil = decode_raster(half)
+    assert not is_stencil and dec.shape == (1, 2, 3)
+    assert dec.tolist() == px[:2:2, :4:2].tolist()  # rows [0], cols [0, 2]
+
+    g = np.arange(15, dtype=np.uint8).reshape(3, 5)  # 5x3 PGM stencil
+    half_g = downscale_raster_x2(b"P5\n5 3\n255\n" + g.tobytes())
+    dec_g, st = decode_raster(half_g)
+    assert st and dec_g.shape == (1, 2)
+    assert dec_g.tolist() == g[:2:2, :4:2].tolist()
+
+    assert downscale_raster_x2(b"P5\n1 1\n255\nx") is None  # 1//2 == 0
+    assert downscale_raster_x2(b"not a raster") is None
