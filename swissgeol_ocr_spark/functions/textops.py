@@ -239,7 +239,7 @@ def quality_score(text: Column) -> Column:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20, strict: bool = True
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     dedup-clustering step over near-dup candidate pairs.
@@ -287,11 +287,24 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(component diameter) rounds; on a
+        # chain longer than max_iter the labels are silently WRONG (one
+        # real cluster split across several ids) — fail loudly instead of
+        # returning them. Callers that genuinely want partial labels (or
+        # long chains) should pass strict=False or use
+        # connected_components_star (O(log² n) rounds on any graph).
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(component diameter exceeds max_iter); use "
+                "connected_components_star or raise max_iter"
+            )
     return labels
 
 
 def connected_components_star(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 50, strict: bool = True
 ) -> DataFrame:
     """Connected components by large-star / small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -356,6 +369,13 @@ def connected_components_star(
         e = e2
         if changed == 0:
             break
+    else:
+        if strict:  # same silent-wrong-labels guard as connected_components
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iter} "
+                "rounds; raise max_iter (O(log² n) expected — this is a bug "
+                "or a pathological graph)"
+            )
     roots = e.select(Fn.col("src").alias("id"), Fn.col("dst").alias("component"))
     return (
         vertices.join(roots, "id", "left")

@@ -141,8 +141,17 @@ def _extract_batches(
         off_all = off_arr.to_numpy(zero_copy_only=False)
         page_all = page_arr.to_numpy(zero_copy_only=False)
         rect_all = None  # built lazily — passthrough-only batches never need it
+        # null confidence/orientation → 0.0 (salvage rule): a null would
+        # become NaN in to_numpy WITHOUT raising, and a NaN confidence
+        # poisons its whole block's average in the C5 filter (every line
+        # silently dropped with status 'ok'); the streaming route already
+        # maps null→0, so this keeps batch ≡ streaming
         conf_all = struct.field("confidence")
         orient_all = struct.field("orientation")
+        if conf_all.null_count:
+            conf_all = pc.fill_null(conf_all, 0.0)
+        if orient_all.null_count:
+            orient_all = pc.fill_null(orient_all, 0.0)
 
         def _pylists(lo: int, hi: int):
             return (
@@ -441,7 +450,15 @@ def extract_pipeline(
     # stable argsort on offset — bit-identical even with duplicate offsets
     exploded = big.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select("doc_id", F.col("span.page_no").alias("page_no"), "pos", "span")
+    ).select(
+        "doc_id",
+        # null page_no → 0, the salvage rule every other route applies (a
+        # null here would make the split key `doc_id#NULL` itself NULL,
+        # merging spans from different mega-docs into one lost NULL-id row)
+        F.coalesce(F.col("span.page_no"), F.lit(0)).alias("page_no"),
+        "pos",
+        "span",
+    )
     page_docs = (
         exploded.repartition(n_part, "doc_id", "page_no")
         .groupBy("doc_id", "page_no")
@@ -449,7 +466,9 @@ def extract_pipeline(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        F.col("span.offset").alias("o"),
+                        # null offset → 0 (salvage rule), matching the
+                        # kernel/passthrough ordering for null offsets
+                        F.coalesce(F.col("span.offset"), F.lit(0)).alias("o"),
                         F.col("pos").alias("p"),
                         F.col("span").alias("s"),
                     )
@@ -527,11 +546,23 @@ def debug_table(out_df: DataFrame) -> DataFrame:
     """E2 debug output (reference ocr/__init__.py:139-141): the reference
     inserts a VISIBLE copy of the drawn OCR text layer as an extra page
     after each processed page so a human can inspect what was detected.
-    The engine analogue is a queryable table: one row per new text line the
-    pipeline emitted (kind='ocr-text'), in reading order, flagged visible —
-    what ``draw_ocr_text_page(..., visible=True)`` renders."""
+    The engine analogue is a queryable table: one row per ocr-text-layer
+    span in the output, in reading order, flagged visible — what
+    ``draw_ocr_text_page(..., visible=True)`` renders.
+
+    Documents with no media span in their output took the born-digital
+    passthrough and were never OCR'd — their PRE-EXISTING hidden ocr-text
+    overlay is preserved verbatim, and the reference draws no debug page
+    for skipped pages — so those documents are excluded here. Residual
+    approximation (documented): a media-bearing document whose individual
+    page was born-digital still passes that page's preserved overlay
+    through; the output schema deliberately carries no per-span provenance
+    (span-sequence equality with the reference forbids extra fields), so
+    page-level exclusion is not expressible downstream."""
+    has_media = F.exists("spans_out", lambda s: s["kind"] == "media")
     return (
-        out_df.select("doc_id", F.explode("spans_out").alias("s"))
+        out_df.filter(has_media)
+        .select("doc_id", F.explode("spans_out").alias("s"))
         .filter(F.col("s.kind") == "ocr-text")
         .select(
             "doc_id",

@@ -57,30 +57,55 @@ def q_c5_confidence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidence = deterministic proxy in [0,1); keep a row iff its confidence
     clears the block's two-tier threshold (T=0.7)."""
     docs = _t(spark, sf_dir, "documents")
-    conf = (F.col("n_chars") % 97).cast("double") / 96.0
-    d = docs.select("doc_id", "source", F.round(conf, 6).alias("conf"))
-    w = Window.partitionBy("source")
-    d = d.withColumn("avg_conf", F.avg("conf").over(w))
-    thr = F.when(F.col("avg_conf") < 0.7, F.lit((1 + 0.7) / 2)).otherwise(
-        F.col("avg_conf") / 2
+    # exact integer micro-units end-to-end: conf_1m = round(k*1e6/96) is a
+    # k*31250/3 rational (thirds — never a .5 boundary, so round() agrees
+    # across engines); the window aggregate is then a LONG sum + integer
+    # division, making the threshold comparison bit-exact in any engine.
+    # A float window-average here would be summation-order-dependent, and
+    # both round() and floor() quantizations diverge when the true average
+    # sits on (or half-off) the quantization grid — which 6dp-rounded
+    # inputs regularly produce.
+    conf1m = F.round((F.col("n_chars") % 97).cast("double") * 1_000_000.0 / 96.0).cast(
+        "long"
     )
-    return (
-        d.filter(F.col("conf") > thr)
-        .select("doc_id", "source", "conf", F.round("avg_conf", 6).alias("avg_conf"))
+    d = docs.select("doc_id", "source", conf1m.alias("c1m"))
+    w = Window.partitionBy("source")
+    d = d.withColumn("sum1m", F.sum("c1m").over(w))
+    d = d.withColumn("n_blk", F.count("*").over(w))
+    # integer division (`div`), not float `/`: at corpus scale the long sum
+    # exceeds 2^53 and float division stops being exact
+    d = d.withColumn("avg1m", F.expr("sum1m div n_blk"))
+    thr_hit = F.when(
+        F.col("avg1m") < 700_000, F.col("c1m").cast("double") > 850_000.0
+    ).otherwise(F.col("c1m") * 2 > F.col("avg1m"))
+    return d.filter(thr_hit).select(
+        "doc_id",
+        "source",
+        (F.col("c1m").cast("double") / 1_000_000.0).alias("conf"),
+        (F.col("avg1m").cast("double") / 1_000_000.0).alias("avg_conf"),
     )
 
 
 SQL_C5 = """
 WITH d AS (
-  SELECT doc_id, source, round((n_chars % 97) / 96.0, 6) AS conf
+  -- exact integer micro-units (k*1e6/96 is a thirds rational, never .5)
+  SELECT doc_id, source,
+         CAST(round((n_chars % 97) * 1000000.0 / 96.0) AS BIGINT) AS c1m
   FROM documents
 ), w AS (
-  SELECT doc_id, source, conf, avg(conf) OVER (PARTITION BY source) AS avg_conf
+  SELECT doc_id, source, c1m,
+         sum(c1m) OVER (PARTITION BY source) AS sum1m,
+         count(*) OVER (PARTITION BY source) AS n_blk
   FROM d
+), a AS (
+  SELECT doc_id, source, c1m, sum1m // n_blk AS avg1m FROM w
 )
-SELECT doc_id, source, conf, round(avg_conf, 6) AS avg_conf
-FROM w
-WHERE conf > (CASE WHEN avg_conf < 0.7 THEN 0.85 ELSE avg_conf / 2 END)
+SELECT doc_id, source,
+       CAST(c1m AS DOUBLE) / 1000000.0 AS conf,
+       CAST(avg1m AS DOUBLE) / 1000000.0 AS avg_conf
+FROM a
+WHERE CASE WHEN avg1m < 700000 THEN CAST(c1m AS DOUBLE) > 850000.0
+           ELSE c1m * 2 > avg1m END
 """
 
 

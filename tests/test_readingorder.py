@@ -340,3 +340,35 @@ def test_interval_column_paragraph_layout():
         assert pos[t] < pos["30-40m"]
     assert pos["30-40m"] < pos["40-50m"]
     assert pos["40-50m"] < pos["Humus"] < pos["Kies"]
+
+
+def test_needs_to_come_before_module_vs_kernel_method():
+    """The module-level needs_to_come_before (the readable spec, exported
+    in __all__) and the fused _Page method (the executed hot path) are two
+    encodings of the same predicate — they must agree on arbitrary
+    geometry, including exact ties, or a future fix to one copy silently
+    diverges from the other."""
+    import random
+
+    import numpy as np
+
+    from swissgeol_ocr_spark.operators.readingorder import (
+        _Page,
+        needs_to_come_before,
+    )
+
+    rng = random.Random(99)
+    for _ in range(40):
+        n = rng.randint(1, 25)
+        r = np.empty((n, 4))
+        for i in range(n):
+            x0 = rng.randrange(0, 400, 20)
+            y0 = rng.randrange(0, 600, 20)
+            r[i] = (x0, y0, x0 + rng.randrange(20, 240, 20), y0 + rng.randrange(8, 32, 8))
+        p = _Page(r)
+        xm = (r[:, 0] + r[:, 2]) / 2.0
+        ym = (r[:, 1] + r[:, 3]) / 2.0
+        for j in range(n):
+            spec = needs_to_come_before(r, xm, ym, j)
+            fused = p.needs_to_come_before(j).copy()
+            assert spec.tolist() == fused.tolist(), (j, r.tolist())

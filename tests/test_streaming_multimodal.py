@@ -239,6 +239,9 @@ def test_debug_table(spark):
         ("d1", [("media", "", "m", 0), ("ocr-text", "hello", "", 1),
                 ("ocr-text", "world", "", 2)]),
         ("d2", [("text", "base", "", 0)]),
+        # no media → born-digital passthrough: its preserved hidden overlay
+        # is NOT a detected line and must not appear in the debug table
+        ("d3", [("text", "base", "", 0), ("ocr-text", "old overlay", "", 1)]),
     ]
     df = spark.createDataFrame(
         rows,
