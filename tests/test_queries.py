@@ -257,3 +257,22 @@ def test_connected_components_strict_raises_on_nonconvergence(spark):
     assert partial.count() == n  # partial labels, explicitly requested
     full = {r.id: r.component for r in connected_components_star(verts, chain).collect()}
     assert set(full.values()) == {"v00"}
+
+
+def test_simhash_scale_knob_cross_setting_consistency(spark):
+    """Exercise the DedupConfig scale lever end-to-end: the 4-band × 14-bit
+    setting (16k buckets per band — the bucket-count shape a 10^12-doc run
+    needs) is pigeonhole-complete for d ≤ 3, so its pair set must EQUAL the
+    registered wide 8×7 query's pairs filtered to hamming ≤ 3 — both are
+    complete in that range over the same 56-bit fingerprints."""
+    from swissgeol_ocr_spark.plans.config import DedupConfig
+    from swissgeol_ocr_spark.plans.queries import q_dedup_simhash_pairs
+
+    wide = q_dedup_simhash_pairs(spark, SF_DIR).collect()
+    narrow_cfg = DedupConfig(simhash_bands=4, simhash_band_bits=14)
+    assert narrow_cfg.simhash_bits == 56  # same fingerprint, different bands
+    narrow = q_dedup_simhash_pairs(spark, SF_DIR, config=narrow_cfg).collect()
+
+    wide_d3 = {(r.a_id, r.b_id, r.hamming) for r in wide if r.hamming <= 3}
+    narrow_set = {(r.a_id, r.b_id, r.hamming) for r in narrow}
+    assert narrow_set == wide_d3
