@@ -276,3 +276,28 @@ def test_simhash_scale_knob_cross_setting_consistency(spark):
     wide_d3 = {(r.a_id, r.b_id, r.hamming) for r in wide if r.hamming <= 3}
     narrow_set = {(r.a_id, r.b_id, r.hamming) for r in narrow}
     assert narrow_set == wide_d3
+
+
+# Golden-backed oracles are pinned to sf0.01 parquets; everything else must
+# hold at ANY scale factor. A second-SF spot check on the arithmetic-heavy
+# pairs proves the cross-engine parity isn't tuned to one dataset.
+SF0001_SPOT = [
+    "c5_confidence_filter", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "ivf_ann_trained",
+    "lsh_ann", "media_features", "media_downscale", "quality_score",
+    "event_windows", "p7_downscale_budget",
+]
+
+
+@pytest.mark.parametrize("name", SF0001_SPOT)
+def test_query_matches_oracle_second_sf(spark, name):
+    fn, sql = QUERIES[name]
+    sf = "/root/testdata/sf0.001"
+    sdf = fn(spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    ddf = con.sql(sql).fetchdf()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+    assert _values_equal(_canon(sdf), _canon(ddf)), f"{name}: sf0.001 mismatch"
