@@ -72,3 +72,16 @@ def test_extract_pipeline_steady_state_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no posexplode = no mega subtree
     assert out.count() == docs.count()
+
+
+def test_media_pixel_queries_shuffle_free(spark, sf_dir):
+    """The real-pixel media paths (decode → features; decode → resize →
+    re-encode → features) are embarrassingly parallel: their plans must be
+    scan → project → MapInPandas with ZERO Exchange operators — the shape
+    that scales linearly with executors on a 100 TB media table."""
+    from swissgeol_ocr_spark.plans.queries import q_media_downscale, q_media_features
+
+    for q in (q_media_features, q_media_downscale):
+        plan = _plan_of(q(spark, sf_dir))
+        assert "Exchange" not in plan, (q.__name__, plan)
+        assert "MapInPandas" in plan, (q.__name__, plan)
