@@ -77,10 +77,12 @@ def decode_raster(payload: bytes) -> tuple[np.ndarray, bool] | None:
     try:
         magic, dims, maxval, raw = payload.split(b"\n", 3)
         w, h = (int(t) for t in dims.split())
-        if int(maxval) != 255:
+        mv = int(maxval)
+        if mv > 255 or mv <= 0:
             # maxval > 255 means 2 bytes/sample (Netpbm spec) — unsupported
             # here; mis-decoding it as uint8 would emit wrong features with
-            # decoded=true
+            # decoded=true. maxval in 1..255 stays 1 byte/sample and
+            # decodes normally.
             return None
         depth = 3 if magic == b"P6" else 1
         n = w * h * depth

@@ -257,7 +257,11 @@ def connected_components(
         edges.select(Fn.col("dst").alias("src"), Fn.col("src").alias("dst"))
     )
     labels = vertices.select(Fn.col("id"), Fn.col("id").alias("component")).cache()
-    for _ in range(max_iter):
+    # max_iter productive rounds + 1: convergence is only observable as a
+    # zero-change round, so a component whose diameter is EXACTLY max_iter
+    # needs one extra (cheap, no-op) round to prove the fixpoint — without
+    # it, strict mode would discard an already-correct result
+    for _ in range(max_iter + 1):
         neighbor_min = (
             both.join(labels, both.dst == labels.id)
             .groupBy("src")
@@ -357,7 +361,7 @@ def connected_components_star(
         return dedup(out)
 
     e = dedup(edges.select("src", "dst"))
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):  # +1 verification round, see connected_components
         # localCheckpoint truncates the plan lineage each round — without it
         # the nested round-over-round DAG grows exponentially and the driver
         # OOMs while planning (cluster jobs should point

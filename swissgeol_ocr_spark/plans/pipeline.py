@@ -542,7 +542,7 @@ def extract_pipeline(
     return with_pt(small_out.unionByName(reassembled))
 
 
-def debug_table(out_df: DataFrame) -> DataFrame:
+def debug_table(out_df: DataFrame, aggressive: bool = False) -> DataFrame:
     """E2 debug output (reference ocr/__init__.py:139-141): the reference
     inserts a VISIBLE copy of the drawn OCR text layer as an extra page
     after each processed page so a human can inspect what was detected.
@@ -550,19 +550,25 @@ def debug_table(out_df: DataFrame) -> DataFrame:
     span in the output, in reading order, flagged visible — what
     ``draw_ocr_text_page(..., visible=True)`` renders.
 
-    Documents with no media span in their output took the born-digital
-    passthrough and were never OCR'd — their PRE-EXISTING hidden ocr-text
-    overlay is preserved verbatim, and the reference draws no debug page
-    for skipped pages — so those documents are excluded here. Residual
-    approximation (documented): a media-bearing document whose individual
-    page was born-digital still passes that page's preserved overlay
-    through; the output schema deliberately carries no per-span provenance
+    Under the DEFAULT strategy, documents with no media span in their
+    output took the born-digital passthrough and were never OCR'd — their
+    PRE-EXISTING hidden ocr-text overlay is preserved verbatim, and the
+    reference draws no debug page for skipped pages — so those documents
+    are excluded. Pass ``aggressive=True`` when the run used the
+    aggressive strategy: there is no passthrough (every page runs the C3
+    sweep, so text-only documents legitimately emit fresh ocr-text lines)
+    and no document is excluded. Residual approximation (documented): in
+    default mode a media-bearing document whose individual page was
+    born-digital still passes that page's preserved overlay through; the
+    output schema deliberately carries no per-span provenance
     (span-sequence equality with the reference forbids extra fields), so
     page-level exclusion is not expressible downstream."""
-    has_media = F.exists("spans_out", lambda s: s["kind"] == "media")
+    if not aggressive:
+        out_df = out_df.filter(
+            F.exists("spans_out", lambda s: s["kind"] == "media")
+        )
     return (
-        out_df.filter(has_media)
-        .select("doc_id", F.explode("spans_out").alias("s"))
+        out_df.select("doc_id", F.explode("spans_out").alias("s"))
         .filter(F.col("s.kind") == "ocr-text")
         .select(
             "doc_id",

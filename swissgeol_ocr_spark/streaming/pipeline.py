@@ -28,6 +28,8 @@ modes (Spark's own batch/streaming unification).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -110,7 +112,14 @@ def reassemble_spans_stream(
     an at-least-once source are deduplicated by the FULL event value (two
     genuinely distinct spans may share an ``offset`` — the batch kernel
     supports duplicate offsets, so the event contract does too; only a
-    byte-identical event counts as a redelivery). Null numeric fields get
+    byte-identical event counts as a redelivery). PROTOCOL LIMIT: a
+    document that genuinely contains two byte-identical spans is
+    indistinguishable from a redelivery without a unique per-span sequence
+    number in the ingestion schema — such a document under-counts and
+    times out; give the producer a seq field (or fold it into ``offset``)
+    if that input class is real. Duplicate-offset spans order by their
+    full value (deterministic; the batch kernel's array-position tie-break
+    has no analog in an unordered event stream). Null numeric fields get
     the batch salvage rule (null → 0) instead of crashing the query on a
     poison event. When the distinct-span count reaches the declared
     ``n_total``, the batch extraction kernel
@@ -132,13 +141,27 @@ def reassemble_spans_stream(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from swissgeol_ocr_spark.operators.extract import extract_document
+    from swissgeol_ocr_spark.operators.extract import (
+        extract_document,
+        salvage_document_inputs,
+    )
 
     cfg = config or ExtractConfig()
 
     def _emit(doc_id: str, kinds, texts, medias, offsets, pages, rects, confs, orients):
-        order = np.argsort(np.asarray(offsets, dtype=np.int64), kind="stable")
-        out = extract_document(
+        # assembled order: by offset, ties broken by the full span value —
+        # events carry no array position, so this is the deterministic
+        # stand-in for the batch kernel's array-position tie-break (only
+        # observable for duplicate-offset spans; identical either way when
+        # offsets are unique, the normal corpus contract)
+        order = sorted(
+            range(len(offsets)),
+            key=lambda i: (
+                offsets[i], pages[i], kinds[i], texts[i], medias[i],
+                tuple(rects[4 * i : 4 * i + 4]), confs[i], orients[i],
+            ),
+        )
+        args = (
             [kinds[i] for i in order],
             [texts[i] for i in order],
             [medias[i] for i in order],
@@ -147,8 +170,25 @@ def reassemble_spans_stream(
             np.asarray(rects, dtype=np.float64).reshape(-1, 4)[order],
             np.asarray(confs, dtype=np.float64)[order],
             np.asarray(orients, dtype=np.float64)[order],
-            cfg,
         )
+        # salvage-then-quarantine, mirroring the batch Arrow driver: a
+        # poison document (non-finite geometry, huge offsets) must never
+        # kill the streaming query
+        try:
+            out = extract_document(*args, cfg)
+            status = "ok"
+        except Exception as exc:
+            try:
+                out = extract_document(*salvage_document_inputs(*args), cfg)
+                status = "salvaged"
+            except Exception:
+                return pd.DataFrame(
+                    {
+                        "doc_id": [doc_id], "kind": [""], "text": [""],
+                        "media_ref": [""], "offset": [-1],
+                        "status": [f"error:{type(exc).__name__}"],
+                    }
+                )
         return pd.DataFrame(
             {
                 "doc_id": [doc_id] * len(out),
@@ -156,13 +196,31 @@ def reassemble_spans_stream(
                 "text": [t for _, t, _, _ in out],
                 "media_ref": [m for _, _, m, _ in out],
                 "offset": [o for _, _, _, o in out],
-                "status": ["ok"] * len(out),
+                "status": [status] * len(out),
             }
         )
 
     def _num(v, default=0.0):
-        # batch salvage rule for poison events: null/NaN numeric → default
-        return default if v is None or (isinstance(v, float) and v != v) else float(v)
+        # integer key fields (offset/page_no/n_total): null/NaN → default
+        # — needed for deterministic dedup keys and the completion count;
+        # the values themselves are schema-bounded int32, so no overflow
+        if v is None:
+            return default
+        v = float(v)
+        return v if math.isfinite(v) else default
+
+    def _f(v):
+        # rect fields: null → NaN (exactly what the batch Arrow driver's
+        # to_numpy produces for a null), everything else (incl. inf/NaN)
+        # passes through UNTOUCHED so the _emit salvage wrap normalizes it
+        # identically to batch (zeroing at intake would skip the salvage
+        # corner-swap/clamp and diverge)
+        return float("nan") if v is None else float(v)
+
+    def _z(v):
+        # confidence/orientation: null → 0.0 (the batch driver's
+        # fill_null), non-null values — finite or not — pass through
+        return 0.0 if v is None else float(v)
 
     _DONE = ([], [], [], [], [], [], [], [], -1, True)
 
@@ -215,8 +273,8 @@ def reassemble_spans_stream(
                 row = (
                     r.kind or "", r.text or "", r.media_ref or "",
                     int(_num(r.offset)), int(_num(r.page_no)),
-                    _num(r.x0), _num(r.y0), _num(r.x1), _num(r.y1),
-                    _num(r.confidence), _num(r.orientation),
+                    _f(r.x0), _f(r.y0), _f(r.x1), _f(r.y1),
+                    _z(r.confidence), _z(r.orientation),
                 )
                 if row in seen:  # at-least-once redelivery
                     continue

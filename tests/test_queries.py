@@ -12,11 +12,11 @@ from swissgeol_ocr_spark.plans.queries import QUERIES, TABLES
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def _duck(sql: str):
+def _duck(sql: str, sf_dir: str = SF_DIR):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con.sql(sql).fetchdf()
 
@@ -294,10 +294,7 @@ def test_query_matches_oracle_second_sf(spark, name):
     fn, sql = QUERIES[name]
     sf = "/root/testdata/sf0.001"
     sdf = fn(spark, sf).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    ddf = con.sql(sql).fetchdf()
+    ddf = _duck(sql, sf_dir=sf)
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
     assert _values_equal(_canon(sdf), _canon(ddf)), f"{name}: sf0.001 mismatch"

@@ -291,16 +291,17 @@ def _drain_stateful(q, timeout=150):
     import time
 
     t0 = time.time()
-    seen_data = False
     while time.time() - t0 < timeout:
-        p = q.lastProgress
-        if p is not None:
-            if p["numInputRows"] > 0:
-                seen_data = True
-            elif seen_data:
-                break
+        # recentProgress is a buffered list (lastProgress alone can be
+        # overwritten between polls when batches commit quickly)
+        progress = q.recentProgress
+        seen_data = any(p["numInputRows"] > 0 for p in progress)
+        idle_after = seen_data and progress and progress[-1]["numInputRows"] == 0
+        if idle_after:
+            break
         time.sleep(0.5)
-    assert seen_data, "stream never processed a data batch"
+    else:
+        raise AssertionError("stream never drained its data batch")
     q.stop()
     q.awaitTermination(30)
 
@@ -435,6 +436,7 @@ def test_decode_raster_rejects_malformed():
         b"P6\n-2 3\n255\n" + b"x" * 64,     # negative dims
         b"P6\n0 0\n255\n",                  # zero-area
         b"P6\n2 2\n65535\n" + b"x" * 24,    # 2-byte samples unsupported
+        b"P6\n2 2\n0\n" + b"x" * 12,        # nonpositive maxval
         b"P6\n2 2\n255\nxy",                # truncated body
         b"P5",                              # header only
     ]
@@ -442,6 +444,9 @@ def test_decode_raster_rejects_malformed():
         assert decode_raster(payload) is None, payload
     ok = decode_raster(b"P6\n2 2\n255\n" + bytes(range(12)))
     assert ok is not None and ok[0].shape == (2, 2, 3)
+    # maxval < 255 is legal Netpbm (still 1 byte/sample) and must decode
+    low = decode_raster(b"P6\n2 2\n127\n" + bytes(range(12)))
+    assert low is not None and low[0].shape == (2, 2, 3)
 
 
 def test_downscale_raster_x2_exact():
@@ -469,3 +474,48 @@ def test_downscale_raster_x2_exact():
 
     assert downscale_raster_x2(b"P5\n1 1\n255\nx") is None  # 1//2 == 0
     assert downscale_raster_x2(b"not a raster") is None
+
+
+def test_stateful_reassembly_poison_events(spark, tmp_path):
+    """A poison document (non-finite geometry) must be salvaged — never
+    crash the streaming query — mirroring the batch Arrow driver's
+    salvage-then-quarantine: inf coordinates are clamped/swapped by the
+    same salvage_document_inputs, and healthy documents in the same batch
+    are untouched."""
+    from swissgeol_ocr_spark.streaming.pipeline import (
+        reassemble_spans_stream,
+        span_event_schema,
+    )
+
+    rows = [
+        # doc p: a media span forces the per-page path (no-media docs take
+        # the geometry-blind passthrough), where ceil(inf) raises →
+        # salvage clamps the rect → retried OK with status 'salvaged'
+        ("p", "media", "", "img-p", 0, 0, 0.0, 0.0, 600.0, 800.0, 1.0, 0.0, 2),
+        ("p", "text", "poisoned", "", 1, 0, 10.0, 10.0, float("inf"), 22.0, 1.0, 0.0, 2),
+        # doc h: healthy
+        ("h", "text", "healthy", "", 0, 0, 10.0, 10.0, 60.0, 22.0, 1.0, 0.0, 1),
+    ]
+    in_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, span_event_schema()).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(span_event_schema()).parquet(in_dir)
+    q = (
+        reassemble_spans_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_stateful(q)
+    by_doc = {}
+    for r in spark.read.parquet(out_dir).collect():
+        by_doc.setdefault(r.doc_id, []).append((r.status, r.kind, r.text))
+    assert by_doc["h"] == [("ok", "text", "healthy")]
+    assert sorted(by_doc["p"]) == [
+        ("salvaged", "media", ""),
+        ("salvaged", "text", "poisoned"),
+    ]
