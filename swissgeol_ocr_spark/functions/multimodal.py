@@ -81,14 +81,22 @@ def decode_raster(payload: bytes) -> tuple[np.ndarray, bool] | None:
         if mv > 255 or mv <= 0:
             # maxval > 255 means 2 bytes/sample (Netpbm spec) — unsupported
             # here; mis-decoding it as uint8 would emit wrong features with
-            # decoded=true. maxval in 1..255 stays 1 byte/sample and
-            # decodes normally.
+            # decoded=true
             return None
         depth = 3 if magic == b"P6" else 1
         n = w * h * depth
         if n <= 0 or len(raw) < n:
             return None
         px = np.frombuffer(raw[:n], dtype=np.uint8)
+        if mv != 255:
+            # legal 1-byte raster with a smaller white point: rescale to
+            # the canonical 0..255 range (integer round-half-up) so every
+            # downstream consumer — features, invert, the maxval-255
+            # re-encode in downscale_raster_x2 — sees correct intensities
+            scaled = (px.astype(np.int32) * 255 + mv // 2) // mv
+            # samples above the declared white point (malformed) clamp to
+            # white instead of wrapping in the uint8 cast
+            px = np.minimum(scaled, 255).astype(np.uint8)
         px = px.reshape(h, w, 3) if depth == 3 else px.reshape(h, w)
     except ValueError:
         return None

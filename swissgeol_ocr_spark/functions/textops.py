@@ -300,7 +300,7 @@ def connected_components(
         # connected_components_star (O(log² n) rounds on any graph).
         if strict:
             raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds "
+                f"connected_components did not converge in {max_iter + 1} rounds "
                 "(component diameter exceeds max_iter); use "
                 "connected_components_star or raise max_iter"
             )
@@ -376,7 +376,7 @@ def connected_components_star(
     else:
         if strict:  # same silent-wrong-labels guard as connected_components
             raise RuntimeError(
-                f"connected_components_star did not converge in {max_iter} "
+                f"connected_components_star did not converge in {max_iter + 1} "
                 "rounds; raise max_iter (O(log² n) expected — this is a bug "
                 "or a pathological graph)"
             )

@@ -153,12 +153,18 @@ def reassemble_spans_stream(
         # events carry no array position, so this is the deterministic
         # stand-in for the batch kernel's array-position tie-break (only
         # observable for duplicate-offset spans; identical either way when
-        # offsets are unique, the normal corpus contract)
+        # offsets are unique, the normal corpus contract). NaN floats sort
+        # as -inf so the key stays a TOTAL order (raw NaN comparisons are
+        # non-total and would make the order arrival-dependent again).
+        def _sk(v: float) -> float:
+            return float("-inf") if v != v else v
+
         order = sorted(
             range(len(offsets)),
             key=lambda i: (
                 offsets[i], pages[i], kinds[i], texts[i], medias[i],
-                tuple(rects[4 * i : 4 * i + 4]), confs[i], orients[i],
+                tuple(_sk(v) for v in rects[4 * i : 4 * i + 4]),
+                _sk(confs[i]), _sk(orients[i]),
             ),
         )
         args = (
@@ -218,9 +224,23 @@ def reassemble_spans_stream(
         return float("nan") if v is None else float(v)
 
     def _z(v):
-        # confidence/orientation: null → 0.0 (the batch driver's
-        # fill_null), non-null values — finite or not — pass through
-        return 0.0 if v is None else float(v)
+        # confidence/orientation → 0.0 when null OR NaN: pandas delivers a
+        # SQL NULL double as NaN, so the two are indistinguishable here;
+        # the batch driver's fill_null(0) maps NULL→0 and a genuine NaN
+        # (no legitimate producer) would poison its C5 block — treating
+        # both as 0 is the parity-preserving choice for real inputs
+        if v is None:
+            return 0.0
+        v = float(v)
+        return 0.0 if v != v else v
+
+    def _canon(row):
+        # NaN-free twin of an event row, used for dedup-set keys and the
+        # duplicate-offset sort tie-break: NaN != NaN would otherwise break
+        # both set membership (redeliveries re-counted) and sort totality
+        # (arrival-order-dependent output). The STORED values keep their
+        # NaN so the salvage wrap sees exactly what batch sees.
+        return tuple("NaN" if (isinstance(v, float) and v != v) else v for v in row)
 
     _DONE = ([], [], [], [], [], [], [], [], -1, True)
 
@@ -260,9 +280,11 @@ def reassemble_spans_stream(
         # redelivery dedup by FULL event value (distinct spans may share an
         # offset; only a byte-identical event is a redelivery)
         seen = {
-            (kinds[i], texts[i], medias[i], offsets[i], pages[i],
-             rects[4 * i], rects[4 * i + 1], rects[4 * i + 2], rects[4 * i + 3],
-             confs[i], orients[i])
+            _canon(
+                (kinds[i], texts[i], medias[i], offsets[i], pages[i],
+                 rects[4 * i], rects[4 * i + 1], rects[4 * i + 2], rects[4 * i + 3],
+                 confs[i], orients[i])
+            )
             for i in range(len(offsets))
         }
         for pdf in pdfs:
@@ -276,9 +298,10 @@ def reassemble_spans_stream(
                     _f(r.x0), _f(r.y0), _f(r.x1), _f(r.y1),
                     _z(r.confidence), _z(r.orientation),
                 )
-                if row in seen:  # at-least-once redelivery
+                ckey = _canon(row)
+                if ckey in seen:  # at-least-once redelivery
                     continue
-                seen.add(row)
+                seen.add(ckey)
                 kinds.append(row[0])
                 texts.append(row[1])
                 medias.append(row[2])

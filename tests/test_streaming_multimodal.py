@@ -251,6 +251,11 @@ def test_debug_table(spark):
     got = [(r.doc_id, r.offset, r.text, r.visible) for r in
            debug_table(df).orderBy("doc_id", "offset").collect()]
     assert got == [("d1", 1, "hello", True), ("d1", 2, "world", True)]
+    # aggressive strategy: no passthrough exists, so text-only docs'
+    # freshly detected lines must NOT be excluded
+    got_aggr = [(r.doc_id, r.text) for r in
+                debug_table(df, aggressive=True).orderBy("doc_id", "offset").collect()]
+    assert got_aggr == [("d1", "hello"), ("d1", "world"), ("d3", "old overlay")]
 
 
 def test_stream_matches_batch_word_granularity(spark, sf_dir, tmp_path):
@@ -291,13 +296,13 @@ def _drain_stateful(q, timeout=150):
     import time
 
     t0 = time.time()
+    seen_data = False  # sticky: the buffered recentProgress list is capped
+    # (default 100 entries) and empty timeout-churn batches can scroll the
+    # one data batch out of it, so latch the observation across polls
     while time.time() - t0 < timeout:
-        # recentProgress is a buffered list (lastProgress alone can be
-        # overwritten between polls when batches commit quickly)
         progress = q.recentProgress
-        seen_data = any(p["numInputRows"] > 0 for p in progress)
-        idle_after = seen_data and progress and progress[-1]["numInputRows"] == 0
-        if idle_after:
+        seen_data = seen_data or any(p["numInputRows"] > 0 for p in progress)
+        if seen_data and progress and progress[-1]["numInputRows"] == 0:
             break
         time.sleep(0.5)
     else:
