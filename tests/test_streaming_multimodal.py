@@ -559,3 +559,43 @@ def test_stream_matches_batch_aggressive(spark, sf_dir, tmp_path):
         for r in extract_pipeline(spans, repartition=False).collect()
     }
     assert stream_out != default_out
+
+
+def test_decode_raster_fuzz_never_raises():
+    """decode_raster over arbitrary bytes (with and without a forced
+    Netpbm magic) must either decode or return None — never raise; and
+    decode(encode) round-trips for every valid raster."""
+    import random
+
+    import numpy as np
+
+    from swissgeol_ocr_spark.functions.multimodal import (
+        decode_raster,
+        downscale_raster_x2,
+    )
+
+    rng = random.Random(123)
+    for trial in range(500):
+        n = rng.randint(0, 64)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        prefix = rng.choice([b"", b"P5", b"P6", b"P6\n", b"P5\n9 9\n", b"P6\n2 2\n255\n"])
+        out = decode_raster(prefix + blob)  # must not raise
+        if out is not None:
+            px, _ = out
+            assert px.dtype == np.uint8
+
+    # round-trip: random valid rasters encode → decode → identical pixels
+    for trial in range(50):
+        w, h = rng.randint(1, 9), rng.randint(1, 9)
+        stencil = rng.random() < 0.5
+        depth = 1 if stencil else 3
+        body = bytes(rng.randrange(256) for _ in range(w * h * depth))
+        payload = (b"P5\n" if stencil else b"P6\n") + f"{w} {h}".encode() + b"\n255\n" + body
+        px, st = decode_raster(payload)
+        assert st == stencil and px.tobytes() == body
+        half = downscale_raster_x2(payload)
+        if w >= 2 and h >= 2:
+            hpx, hst = decode_raster(half)
+            assert hst == stencil and hpx.shape[:2] == (h // 2, w // 2)
+        else:
+            assert half is None
