@@ -58,26 +58,68 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     return np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
 
 
+_NETPBM_WS = b" \t\r\n\x0b\x0c"
+
+
+def _parse_netpbm_header(payload: bytes) -> tuple[bytes, int, int, int, int] | None:
+    """Whitespace/comment-aware Netpbm header tokenizer (the spec allows
+    any whitespace between header tokens and ``#``-to-end-of-line comments
+    anywhere in the header). Returns (magic, w, h, maxval, data_offset) —
+    data starts after EXACTLY ONE whitespace byte following maxval — or
+    None when the bytes are not a P5/P6 header."""
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        return None
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    n = len(payload)
+    i = 2
+    if i >= n or payload[i] not in _NETPBM_WS and payload[i] != 0x23:
+        return None  # 'P6x' is not a magic; whitespace/comment must follow
+    vals: list[int] = []
+    while len(vals) < 3:
+        while i < n:
+            c = payload[i]
+            if c in _NETPBM_WS:
+                i += 1
+            elif c == 0x23:  # '#' comment runs to end of line
+                while i < n and payload[i] not in b"\r\n":
+                    i += 1
+            else:
+                break
+        j = i
+        while j < n and 0x30 <= payload[j] <= 0x39:
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(payload[i:j]))
+        i = j
+    if i >= n or payload[i] not in _NETPBM_WS:
+        return None
+    return magic, vals[0], vals[1], vals[2], i + 1
+
+
 def decode_raster(payload: bytes) -> tuple[np.ndarray, bool] | None:
     """REAL pixel decode for the codec-free Netpbm rasters (pure numpy):
 
-    * ``P6`` (PPM): header ``P6\\n{w} {h}\\n{maxval}\\n`` + w*h*3 raw RGB
-      bytes → (h, w, 3) uint8 array
+    * ``P6`` (PPM): header ``P6 {w} {h} {maxval}`` (any whitespace between
+      tokens, ``#`` comments allowed) + one whitespace byte + w*h*3 raw
+      RGB bytes → (h, w, 3) uint8 array
     * ``P5`` (PGM): same header, 1 byte/px → (h, w) uint8 array; flagged
       as a stencil (the reference's colorspace-less stencil pixmap,
       crop.py:187-190)
 
     Returns (pixels, is_stencil), or None when the payload is not a
     Netpbm raster (codec formats fall back to the declared stub)."""
-    if payload is None or not (payload.startswith(b"P6") or payload.startswith(b"P5")):
-        return None
     # a malformed header must mean "not a decodable raster" (stub fallback),
     # never an exception out of the Spark task — at corpus scale a single
     # poison payload would otherwise fail the job
+    header = _parse_netpbm_header(payload)
+    if header is None:
+        return None
     try:
-        magic, dims, maxval, raw = payload.split(b"\n", 3)
-        w, h = (int(t) for t in dims.split())
-        mv = int(maxval)
+        magic, w, h, mv, off = header
+        raw = payload[off:]
         if mv > 255 or mv <= 0:
             # maxval > 255 means 2 bytes/sample (Netpbm spec) — unsupported
             # here; mis-decoding it as uint8 would emit wrong features with

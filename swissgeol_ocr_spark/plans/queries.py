@@ -776,7 +776,8 @@ WITH m AS (
   FROM m WHERE h % 3 = 0
 ), body AS (
   SELECT doc_id, px_w, px_h, is_stencil,
-         substr(repeat(text || ' ', CAST(ceil(432.0 / (length(text) + 1)) AS INT) + 1),
+         substr(repeat(regexp_replace(text, '[^ -~]', '?', 'g') || ' ',
+                       CAST(ceil(432.0 / (length(regexp_replace(text, '[^ -~]', '?', 'g')) + 1)) AS INT) + 1),
                 1, px_w * px_h * depth) AS s
   FROM img
 ), px AS (
@@ -837,7 +838,8 @@ WITH m AS (
   FROM m WHERE h % 3 = 0
 ), body AS (
   SELECT doc_id, pw, ph, is_stencil, depth,
-         substr(repeat(text || ' ', CAST(ceil(432.0 / (length(text) + 1)) AS INT) + 1),
+         substr(repeat(regexp_replace(text, '[^ -~]', '?', 'g') || ' ',
+                       CAST(ceil(432.0 / (length(regexp_replace(text, '[^ -~]', '?', 'g')) + 1)) AS INT) + 1),
                 1, pw * ph * depth) AS s
   FROM img
 ), px AS (

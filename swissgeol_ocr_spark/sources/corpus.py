@@ -381,9 +381,15 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     depth = F.when(is_stencil, F.lit(1)).otherwise(F.lit(3))
     # ASCII pixel stream: repeat "text " until it covers the largest
     # possible raster (16*9*3 = 432 bytes), then cut to this raster's size
+    # Pixel math equates char length with utf-8 byte length, so the pixel
+    # text MUST be ASCII: a multi-byte char would mis-size the raster body
+    # (decode falls back to the stub and the byte-reconstructing DuckDB
+    # oracles break). The driver corpus is ASCII today; this normalization
+    # (identity on ASCII — goldens unaffected) makes the invariant hold for
+    # ANY input text. The media oracle SQLs apply the same regexp.
     pixel_chars = F.expr(
-        "substring(repeat(concat(text, ' '), "
-        "cast(ceil(432.0 / (length(text) + 1)) as int) + 1), 1, "
+        "substring(repeat(concat(regexp_replace(text, '[^ -~]', '?'), ' '), "
+        "cast(ceil(432.0 / (length(regexp_replace(text, '[^ -~]', '?')) + 1)) as int) + 1), 1, "
         "cast(pw * ph * depth as int))"
     )
     raster = F.concat(

@@ -99,43 +99,10 @@ _REASSEMBLE_STATE = (
 )
 
 
-def reassemble_spans_stream(
-    events: DataFrame,
-    config: ExtractConfig | None = None,
-    timeout_ms: int = 600_000,
-) -> DataFrame:
-    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
-    assemble out-of-order span events into whole documents and extract
-    each document the moment its last span arrives.
-
-    Per doc_id, state accumulates the spans seen so far. Redeliveries from
-    an at-least-once source are deduplicated by the FULL event value (two
-    genuinely distinct spans may share an ``offset`` — the batch kernel
-    supports duplicate offsets, so the event contract does too; only a
-    byte-identical event counts as a redelivery). PROTOCOL LIMIT: a
-    document that genuinely contains two byte-identical spans is
-    indistinguishable from a redelivery without a unique per-span sequence
-    number in the ingestion schema — such a document under-counts and
-    times out; give the producer a seq field (or fold it into ``offset``)
-    if that input class is real. Duplicate-offset spans order by their
-    full value (deterministic; the batch kernel's array-position tie-break
-    has no analog in an unordered event stream). Null numeric fields get
-    the batch salvage rule (null → 0) instead of crashing the query on a
-    poison event. When the distinct-span count reaches the declared
-    ``n_total``, the batch extraction kernel
-    (operators/extract.extract_document — the SAME kernel as batch mode)
-    runs on the assembled, offset-ordered arrays and the ordered output
-    span sequence is emitted with status 'ok'; the state then holds a
-    small DONE tombstone for one timeout period so a late redelivery of an
-    already-emitted document is ignored rather than resurrecting state and
-    later emitting a spurious quarantine row. A document whose tail never
-    arrives times out on the processing-time clock and is quarantined with
-    a single status='timeout' marker row (the streaming twin of the batch
-    salvage-then-quarantine path).
-
-    Scale shape: one shuffle on doc_id (the state key — the same key the
-    batch pipeline buckets by); state size is bounded by in-flight docs ×
-    span payload, and the timeout bounds in-flight lifetime."""
+def _make_reassemble(cfg: ExtractConfig, timeout_ms: int):
+    """Build the per-group reassembly function (module-level so unit
+    tests can drive it directly with a fake GroupState; see
+    reassemble_spans_stream for the semantics)."""
     import numpy as np
     import pandas as pd
 
@@ -146,7 +113,7 @@ def reassemble_spans_stream(
         salvage_document_inputs,
     )
 
-    cfg = config or ExtractConfig()
+    cfg = cfg or ExtractConfig()
 
     def _emit(doc_id: str, kinds, texts, medias, offsets, pages, rects, confs, orients):
         # assembled order: by offset, ties broken by the full span value —
@@ -248,14 +215,23 @@ def reassemble_spans_stream(
         (doc_id,) = key
         if state.hasTimedOut:
             was_done = state.exists and bool(state.get[-1])
-            state.remove()
-            if not was_done:  # a DONE tombstone expiring is not a quarantine
-                yield pd.DataFrame(
-                    {
-                        "doc_id": [doc_id], "kind": [""], "text": [""],
-                        "media_ref": [""], "offset": [-1], "status": ["timeout"],
-                    }
-                )
+            if was_done:
+                # a tombstone (ok- or timeout-path) expiring is not a
+                # quarantine; the doc's status row was already emitted
+                state.remove()
+                return
+            # quarantine AND leave a tombstone for one timeout period:
+            # without it a straggler span arriving after the quarantine
+            # would recreate state and emit a second status row (late 'ok'
+            # or duplicate 'timeout') for the same doc_id
+            state.update(_DONE)
+            state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [doc_id], "kind": [""], "text": [""],
+                    "media_ref": [""], "offset": [-1], "status": ["timeout"],
+                }
+            )
             return
 
         if state.exists:
@@ -321,6 +297,51 @@ def reassemble_spans_stream(
                  n_total, False)
             )
             state.setTimeoutDuration(timeout_ms)
+
+    return reassemble
+
+
+def reassemble_spans_stream(
+    events: DataFrame,
+    config: ExtractConfig | None = None,
+    timeout_ms: int = 600_000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    assemble out-of-order span events into whole documents and extract
+    each document the moment its last span arrives.
+
+    Per doc_id, state accumulates the spans seen so far. Redeliveries from
+    an at-least-once source are deduplicated by the FULL event value (two
+    genuinely distinct spans may share an ``offset`` — the batch kernel
+    supports duplicate offsets, so the event contract does too; only a
+    byte-identical event counts as a redelivery). PROTOCOL LIMIT: a
+    document that genuinely contains two byte-identical spans is
+    indistinguishable from a redelivery without a unique per-span sequence
+    number in the ingestion schema — such a document under-counts and
+    times out; give the producer a seq field (or fold it into ``offset``)
+    if that input class is real. Duplicate-offset spans order by their
+    full value (deterministic; the batch kernel's array-position tie-break
+    has no analog in an unordered event stream). Null numeric fields get
+    the batch salvage rule (null → 0) instead of crashing the query on a
+    poison event. When the distinct-span count reaches the declared
+    ``n_total``, the batch extraction kernel
+    (operators/extract.extract_document — the SAME kernel as batch mode)
+    runs on the assembled, offset-ordered arrays and the ordered output
+    span sequence is emitted with status 'ok'; the state then holds a
+    small DONE tombstone for one timeout period so a late redelivery of an
+    already-emitted document is ignored rather than resurrecting state and
+    later emitting a spurious quarantine row. A document whose tail never
+    arrives times out on the processing-time clock and is quarantined with
+    a single status='timeout' marker row (the streaming twin of the batch
+    salvage-then-quarantine path).
+
+    Scale shape: one shuffle on doc_id (the state key — the same key the
+    batch pipeline buckets by); state size is bounded by in-flight docs ×
+    span payload, and the timeout bounds in-flight lifetime."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cfg = config or ExtractConfig()
+    reassemble = _make_reassemble(cfg, timeout_ms)
 
     return events.groupBy("doc_id").applyInPandasWithState(
         reassemble,

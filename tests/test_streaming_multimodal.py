@@ -599,3 +599,71 @@ def test_decode_raster_fuzz_never_raises():
             assert hst == stencil and hpx.shape[:2] == (h // 2, w // 2)
         else:
             assert half is None
+
+
+def test_timeout_quarantine_leaves_tombstone():
+    """A straggler span arriving AFTER a timeout quarantine must be ignored
+    (timeout-path tombstone, mirroring the ok-path DONE tombstone) — it must
+    not resurrect state and emit a second 'timeout' (or a late 'ok') row for
+    the same doc_id. Drives the reassembly function directly with a fake
+    GroupState so the processing-time clock is fully deterministic."""
+    import pandas as pd
+
+    from swissgeol_ocr_spark.streaming.pipeline import _make_reassemble
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            assert self._v is not None
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def ev_pdf(text, off, n_total):
+        return pd.DataFrame(
+            {
+                "kind": ["text"], "text": [text], "media_ref": [""],
+                "offset": [off], "page_no": [0],
+                "x0": [10.0], "y0": [10.0], "x1": [60.0], "y1": [22.0],
+                "confidence": [1.0], "orientation": [0.0],
+                "n_total": [n_total],
+            }
+        )
+
+    reassemble = _make_reassemble(None, timeout_ms=1000)
+    state = FakeState()
+
+    # 1. partial document (1 of 3 spans): state held, nothing emitted
+    out = list(reassemble(("d",), iter([ev_pdf("head", 0, 3)]), state))
+    assert out == [] and state.exists and state.get[-1] is False
+
+    # 2. timeout fires: exactly one quarantine row, tombstone LEFT BEHIND
+    state.hasTimedOut = True
+    out = list(reassemble(("d",), iter([]), state))
+    assert len(out) == 1 and list(out[0].status) == ["timeout"]
+    assert state.exists and bool(state.get[-1]) is True  # tombstone, not removed
+
+    # 3. late straggler during the tombstone period: ignored, no output
+    state.hasTimedOut = False
+    out = list(reassemble(("d",), iter([ev_pdf("straggler", 1, 3)]), state))
+    assert out == [] and state.exists and bool(state.get[-1]) is True
+
+    # 4. tombstone expiry: silent removal, NO second timeout row
+    state.hasTimedOut = True
+    out = list(reassemble(("d",), iter([]), state))
+    assert out == [] and not state.exists
