@@ -188,6 +188,167 @@ def simhash_band_keys(fingerprint: Column, bands: int = 4, band_bits: int = 8) -
     )
 
 
+def simhash_wide_band_values(
+    digests: Column, bands: int = 8, band_bits: int = 16
+) -> Column:
+    """Corpus-scale SimHash: per-BAND fingerprint values (array<bigint>,
+    length ``bands``) for fingerprints WIDER than one signed BIGINT —
+    up to 128 bits from one materialized md5 digest per token.
+
+    Vote scheme (documented for the DuckDB twin,
+    plans.queries.sql_dedup_simhash_pairs): fingerprint bit
+    j ∈ [0, 128) votes on bit (j mod 4) of md5 nibble (j div 4) — all four
+    bits of every nibble serve as vote bits, so one digest covers the full
+    128 bits with no extra hashing.
+
+    Cost shape: ONE ``aggregate`` pass over the token digests with a
+    per-bit vote-counter array accumulator — 32 ``instr`` calls per digest
+    (nibble values are materialized by an inner ``transform`` before the
+    per-bit tests; HOF lambdas do no common-subexpression elimination, so
+    the naive 128-aggregates form would cost 4× the hashing). The band
+    values are derived inside the aggregate's ``finish`` lambda, where the
+    final accumulator is a bound variable (evaluated once). Callers MUST
+    materialize the returned array as a real column before slicing it into
+    band columns (CollapseProject keeps a multi-referenced non-trivial
+    alias in its own Project, so the aggregate runs once per row)."""
+    bits = bands * band_bits
+    assert 0 < bits <= 128, "one md5 digest carries at most 128 vote bits"
+    hexd = F.lit("0123456789abcdef")
+
+    def votes_of(d):
+        # inner transform materializes the 32 nibble values; the outer one
+        # expands each into its 4 ±1 vote bits (cheap arithmetic on a bound
+        # lambda variable, no re-hashing)
+        nibs = F.transform(F.split(d, ""), lambda c: F.instr(hexd, c) - 1)
+        per_nib = F.transform(
+            nibs,
+            lambda v: F.array(
+                *[
+                    F.when(
+                        F.shiftright(v, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for k in range(4)
+                ]
+            ),
+        )
+        return F.slice(F.flatten(per_nib), 1, bits)
+
+    def band_value(acc, b):
+        col = F.lit(0).cast("long")
+        for k in range(band_bits):
+            col = col + F.when(
+                F.element_at(acc, b * band_bits + k + 1) > 0, F.lit(1 << k)
+            ).otherwise(F.lit(0)).cast("long")
+        return col
+
+    return F.aggregate(
+        digests,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, d: F.zip_with(acc, votes_of(d), lambda a, v: a + v),
+        lambda acc: F.array(*[band_value(acc, b) for b in range(bands)]),
+    )
+
+
+def pack_band_half(band_values: list[Column], band_bits: int) -> Column:
+    """Pack ``len(band_values) × band_bits`` bits (little-endian band
+    order) into ONE BIGINT, engine-portably. When the top band's slice
+    reaches bit 63 the value is sign-adjusted BEFORE the shift-by-multiply
+    ((b − 2^band_bits) · 2^shift is the same two's-complement bit pattern
+    as the wrapping shift, but never overflows a signed multiply — DuckDB
+    refuses ``<<`` past bit 62, so the twin uses the identical formula).
+    Inputs must be materialized band-value columns in [0, 2^band_bits)."""
+    total = len(band_values) * band_bits
+    assert total <= 64
+    acc = band_values[0].cast("long")
+    for i, b in enumerate(band_values[1:], start=1):
+        shift = i * band_bits
+        if shift + band_bits == 64:
+            adj = F.when(
+                b >= F.lit(1 << (band_bits - 1)), b - F.lit(1 << band_bits)
+            ).otherwise(b)
+        else:
+            adj = b
+        acc = acc.bitwiseOR(adj.cast("long") * F.lit(1 << shift).cast("long"))
+    return acc
+
+
+def band_keys_from_values(band_values: list[Column]) -> Column:
+    """'b:value' join keys straight from materialized band-value columns
+    (no shift arithmetic on the packed halves — the sign bit never gets a
+    chance to bite). array<string>, one element per band."""
+    return F.array(
+        *[
+            F.concat_ws(":", F.lit(str(b)), v.cast("string"))
+            for b, v in enumerate(band_values)
+        ]
+    )
+
+
+def simhash_band_keys_from_halves(
+    lo: Column, hi: Column, bands: int, band_bits: int
+) -> Column:
+    """Band keys recovered FROM the packed two-BIGINT fingerprint (for
+    synthetic fingerprints / completeness tests; production queries band
+    from the pre-packing values via ``band_keys_from_values``). Uses the
+    LOGICAL right shift so the top band of each half survives the sign
+    bit. Bands 0..bands/2−1 come from ``lo``, the rest from ``hi``."""
+    assert bands % 2 == 0 and (bands // 2) * band_bits <= 64
+    half = bands // 2
+    mask = F.lit((1 << band_bits) - 1)
+
+    def key(b):
+        src = lo if b < half else hi
+        shift = (b % half) * band_bits
+        return F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.shiftrightunsigned(src, shift).bitwiseAND(mask).cast("string"),
+        )
+
+    return F.array(*[key(b) for b in range(bands)])
+
+
+def band_population_stats(
+    banded: DataFrame, family: str, key_col: str = "bk"
+) -> DataFrame:
+    """Bucket-population skew metrics for a banded dedup relation — the
+    'no silent caps' guard: the MAX bucket population is exactly the
+    quantity that goes quadratic in the band-key self-join, so surfacing
+    it as a metrics row makes a skewed corpus visible BEFORE it is slow
+    (at 10^12 docs a hot bucket is a job-killer, not a slowdown).
+
+    Input: one row per (doc, band key), keys shaped 'band:value...'
+    (every banded family here uses that shape). Output: one row per band
+    with (family, band, n_buckets, max_bucket, n_rows). Two partial-agg
+    shuffles, both on compact keys; never materializes pairs."""
+    per_key = banded.groupBy(key_col).agg(F.count("*").alias("n"))
+    return (
+        per_key.select(
+            F.lit(family).alias("family"),
+            F.split(F.col(key_col), ":").getItem(0).cast("int").alias("band"),
+            F.col("n"),
+        )
+        .groupBy("family", "band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum("n").alias("n_rows"),
+        )
+    )
+
+
+def hamming_two_bigint(
+    lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column
+) -> Column:
+    """Exact Hamming distance between two 128-bit fingerprints stored as
+    two BIGINT halves: popcount(xor) summed over the halves (bit_count is
+    two's-complement-consistent across Spark and DuckDB, negative halves
+    included)."""
+    return (
+        F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+    ).cast("int")
+
+
 def lang_score(text: Column, lang: str) -> Column:
     markers = LANG_MARKERS[lang]
     return F.size(F.filter(words(F.lower(text)), lambda w: w.isin(*markers)))

@@ -47,22 +47,27 @@ class DedupConfig:
     """Scale knobs for the near-dup family.
 
     The SimHash banded Hamming join is pigeonhole-complete for distance
-    d ≤ bands − 1; fingerprint width = bands × band_bits (≤ 62 so the
-    fingerprint stays a non-negative BIGINT in every engine). Two levers:
+    d ≤ bands − 1; fingerprint width = bands × band_bits. Two levers:
 
     * ``simhash_bands``     — more bands = larger complete distance AND a
       cheaper per-band key, but more candidate rows per doc
     * ``simhash_band_bits`` — the bucket-count lever: 2^band_bits values
       per band. THIS is what must grow with corpus size — at 10^12 docs an
-      8-bit band has only 256 buckets, so each bucket goes quadratic; move
-      to 14-16-bit bands (16k-65k buckets), trading completeness distance
-      (fewer bands at the 62-bit cap) or accepting rescoring recall.
+      8-bit band has only 256 buckets, so each bucket goes quadratic.
 
-    Default: 8 bands × 7 bits = 56-bit fingerprints, complete for d ≤ 7 —
-    the wide setting (the round-2 default was 4×8 = 32-bit, d ≤ 3)."""
+    Widths ≤ 62 bits run as one non-negative BIGINT fingerprint; wider
+    settings (up to 128 bits — one md5 digest's worth of vote bits) run as
+    TWO BIGINT halves with band keys derived before packing
+    (functions/textops.simhash_wide_band_values / pack_band_half), so
+    nothing caps the bucket count at the single-BIGINT sign bit anymore.
+
+    Default: the corpus-scale setting — 8 bands × 16 bits = 128-bit
+    fingerprints, complete for d ≤ 7 AND 65,536 buckets per band (the
+    round-3 default was 8×7 = 56-bit: d ≤ 7 but only 128 buckets/band,
+    which goes quadratic within buckets at 10^12 docs)."""
 
     simhash_bands: int = 8
-    simhash_band_bits: int = 7
+    simhash_band_bits: int = 16
 
     @property
     def simhash_bits(self) -> int:

@@ -449,7 +449,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = docs.select("doc_id", textops.minhash_signature(F.col("dg")).alias("sig"))
     banded = sig.select(
-        "doc_id", F.explode(textops.lsh_band_keys(F.col("sig"))).alias("band_key")
+        # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+        # size()>0 filter whose pushdown inlines the full signature
+        # expression per band (the array is non-empty by construction, so
+        # the outer variant is semantically identical and plans clean)
+        "doc_id", F.explode_outer(textops.lsh_band_keys(F.col("sig"))).alias("band_key")
     )
     return (
         banded.alias("a")
@@ -554,25 +558,64 @@ def q_dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, config: "DedupConfig | None" = None
 ) -> DataFrame:
     """SimHash near-dup pairs via the banded Hamming-neighbor join, sized
-    by plans.config.DedupConfig (default: 56-bit fingerprints, 8 bands × 7
-    bits — the wide setting). Any two fingerprints within Hamming distance
-    bands−1 agree on ≥1 band (pigeonhole), so candidates meet in an
-    equi-join on the compact band key — one shuffle, never an all-pairs
-    product — and are then verified with an exact popcount. The SQL oracle
-    below is generated from the SAME config values, so the scale knob is
-    exercised end-to-end."""
+    by plans.config.DedupConfig (default: the CORPUS-SCALE setting —
+    128-bit fingerprints as two BIGINT halves, 8 bands × 16 bits, so the
+    band-key equi-join keeps d ≤ 7 pigeonhole completeness AND 65k buckets
+    per band; at 10^12 docs the old single-BIGINT 8×7 setting had only 128
+    buckets per band and went quadratic within buckets). Any two
+    fingerprints within Hamming distance bands−1 agree on ≥1 band
+    (pigeonhole), so candidates meet in an equi-join on the compact band
+    key — one shuffle, never an all-pairs product — and are then verified
+    with an exact two-half popcount. The SQL oracle is generated from the
+    SAME config values by ``sql_dedup_simhash_pairs``, so ANY setting can
+    be paired with its oracle (configs ≤ 62 bits take the legacy
+    single-BIGINT path).
+
+    Reference analogue: the T6-style near-dup relation
+    (/root/reference/ocr/textract/textract.py:120-131) at north-rule
+    corpus scale."""
     cfg = config or _DEDUP_CFG
     bits, bands, band_bits = cfg.simhash_bits, cfg.simhash_bands, cfg.simhash_band_bits
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", textops.md5_digests(F.split("text", " ")).alias("dg")
     )
-    fp = docs.select("doc_id", textops.simhash(F.col("dg"), bits).alias("fp"))
-    banded = fp.select(
-        "doc_id", "fp",
-        F.explode(
-            textops.simhash_band_keys(F.col("fp"), bands=bands, band_bits=band_bits)
-        ).alias("bk"),
-    )
+    if bits <= 62:
+        fp = docs.select("doc_id", textops.simhash(F.col("dg"), bits).alias("fp"))
+        banded = fp.select(
+            "doc_id", "fp",
+            # explode_outer: see q_dedup_minhash_lsh — keeps the inferred
+            # size()>0 filter from inlining the 56-aggregate fingerprint
+            F.explode_outer(
+                textops.simhash_band_keys(F.col("fp"), bands=bands, band_bits=band_bits)
+            ).alias("bk"),
+        )
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                F.col("a.fp").alias("fa"),
+                F.col("b.fp").alias("fb"),
+            )
+            .distinct()
+        )
+        ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+        return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
+            F.col("hamming") <= bands - 1
+        )
+
+    # wide path: > 62 bits can't live in one signed BIGINT — band values
+    # come out of ONE aggregate pass, band keys are derived BEFORE packing
+    # (no shift arithmetic ever touches a possibly-negative half), and the
+    # exact verify popcounts the two halves
+    packed = _simhash_wide_packed(docs, bands, band_bits)
+    # explode_outer: the inferred size()>0 filter would otherwise push
+    # below the packing projects, inlining the vote aggregate ~16×/row
+    banded = packed.select("doc_id", "lo", "hi", F.explode_outer("keys").alias("bk"))
     cand = (
         banded.alias("a")
         .join(
@@ -582,35 +625,293 @@ def q_dedup_simhash_pairs(
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.fp").alias("fa"),
-            F.col("b.fp").alias("fb"),
+            F.col("a.lo").alias("a_lo"), F.col("a.hi").alias("a_hi"),
+            F.col("b.lo").alias("b_lo"), F.col("b.hi").alias("b_hi"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    ham = textops.hamming_two_bigint(
+        F.col("a_lo"), F.col("a_hi"), F.col("b_lo"), F.col("b_hi")
+    )
     return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
         F.col("hamming") <= bands - 1
     )
 
 
-SQL_SIMHASH_PAIRS = f"""
+def _simhash_wide_packed(docs: DataFrame, bands: int, band_bits: int) -> DataFrame:
+    """(doc_id, lo, hi, keys) — the two-BIGINT-half wide fingerprint
+    relation over a materialized ``dg`` md5-digest column (shared by the
+    pairs query and the band-stats metrics). Band values are materialized
+    as real columns between the aggregate and the packing so the one
+    aggregate pass runs exactly once per row (CollapseProject keeps a
+    multi-referenced non-trivial alias in its own Project)."""
+    assert bands % 2 == 0 and (bands // 2) * band_bits <= 64, (bands, band_bits)
+    half = bands // 2
+    bv = docs.select(
+        "doc_id",
+        textops.simhash_wide_band_values(F.col("dg"), bands, band_bits).alias("bv"),
+    )
+    # coalesce makes the band columns (hence lo/hi) provably NON-NULLABLE:
+    # otherwise InferFiltersFromConstraints adds isnotnull(lo/hi) under the
+    # downstream join and predicate pushdown substitutes the full vote
+    # aggregate into that filter — ~12 inlined copies evaluated per row
+    # (bv is never null for a non-null text, so this is a no-op at runtime)
+    bcols = bv.select(
+        "doc_id",
+        *[
+            F.coalesce(F.element_at("bv", b + 1), F.lit(0).cast("long")).alias(f"_b{b}")
+            for b in range(bands)
+        ],
+    )
+    return bcols.select(
+        "doc_id",
+        textops.pack_band_half(
+            [F.col(f"_b{b}") for b in range(half)], band_bits
+        ).alias("lo"),
+        textops.pack_band_half(
+            [F.col(f"_b{b}") for b in range(half, bands)], band_bits
+        ).alias("hi"),
+        textops.band_keys_from_values(
+            [F.col(f"_b{b}") for b in range(bands)]
+        ).alias("keys"),
+    )
+
+
+def _simhash_wide_band_term(b: int, band_bits: int) -> str:
+    """DuckDB twin of ONE band value under the wide vote scheme
+    (textops.simhash_wide_band_values: fingerprint bit j votes on bit
+    (j mod 4) of md5 nibble (j div 4))."""
+    terms = []
+    for k in range(band_bits):
+        j = b * band_bits + k
+        nib, bitk = j // 4, j % 4
+        pred = (
+            f"((instr('0123456789abcdef', substr(d, {nib + 1}, 1)) - 1) "
+            f"// {1 << bitk}) % 2 = 1"
+        )
+        terms.append(
+            "(CASE WHEN list_sum(list_transform(dgs, d -> CASE WHEN "
+            f"{pred} THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_pack_half(band_cols: list[str], band_bits: int) -> str:
+    """DuckDB twin of textops.pack_band_half: little-endian band packing
+    with the top band sign-adjusted before a shift-by-multiply (DuckDB
+    refuses ``<<`` past bit 62; (b − 2^bb)·2^shift is the identical
+    two's-complement bit pattern and never overflows a signed multiply)."""
+    total = len(band_cols) * band_bits
+    assert total <= 64
+    parts = [f"CAST({band_cols[0]} AS BIGINT)"]
+    for i, c in enumerate(band_cols[1:], start=1):
+        shift = i * band_bits
+        if shift + band_bits == 64:
+            adj = (
+                f"(CASE WHEN {c} >= {1 << (band_bits - 1)} "
+                f"THEN {c} - {1 << band_bits} ELSE {c} END)"
+            )
+        else:
+            adj = c
+        parts.append(f"(CAST({adj} AS BIGINT) * {1 << shift})")
+    return " | ".join(parts)
+
+
+def sql_dedup_simhash_pairs(cfg: "DedupConfig | None" = None) -> str:
+    """Generate the DuckDB oracle for ``q_dedup_simhash_pairs`` from the
+    SAME config the Spark query runs with — any setting gets matching
+    oracle coverage (the round-3 advice: the oracle used to be frozen at
+    import time from the default config). Configs ≤ 62 bits emit the
+    legacy single-BIGINT twin; wider ones the two-BIGINT-half twin."""
+    cfg = cfg or _DEDUP_CFG
+    bits, bands, band_bits = cfg.simhash_bits, cfg.simhash_bands, cfg.simhash_band_bits
+    if bits <= 62:
+        return f"""
 WITH dg AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '), t -> md5(t)) AS dgs
   FROM documents
 ), fp AS (
-  SELECT doc_id, CAST({_simhash_bit_terms(_DEDUP_CFG.simhash_bits)} AS BIGINT) AS fp
+  SELECT doc_id, CAST({_simhash_bit_terms(bits)} AS BIGINT) AS fp
   FROM dg
 ), banded AS (
   SELECT doc_id, fp, unnest([
-    {_simhash_band_terms(_DEDUP_CFG.simhash_bands, _DEDUP_CFG.simhash_band_bits)}]) AS bk
+    {_simhash_band_terms(bands, band_bits)}]) AS bk
   FROM fp
 ), cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fa, b.fp AS fb
   FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
 )
 SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= {_DEDUP_CFG.simhash_bands - 1}
+FROM cand WHERE bit_count(xor(fa, fb)) <= {bands - 1}
+"""
+    assert bands % 2 == 0 and (bands // 2) * band_bits <= 64, cfg
+    half = bands // 2
+    band_defs = ",\n         ".join(
+        f"({_simhash_wide_band_term(b, band_bits)}) AS b{b}" for b in range(bands)
+    )
+    keys = ",\n    ".join(f"'{b}:' || CAST(b{b} AS VARCHAR)" for b in range(bands))
+    lo = _sql_pack_half([f"b{b}" for b in range(half)], band_bits)
+    hi = _sql_pack_half([f"b{b}" for b in range(half, bands)], band_bits)
+    ham = "bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi))"
+    return f"""
+WITH dg AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> md5(t)) AS dgs
+  FROM documents
+), bands AS (
+  SELECT doc_id,
+         {band_defs}
+  FROM dg
+), fp AS (
+  SELECT doc_id, {lo} AS lo, {hi} AS hi,
+         [{keys}] AS keys
+  FROM bands
+), banded AS (
+  SELECT doc_id, lo, hi, unnest(keys) AS bk FROM fp
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.lo AS a_lo, a.hi AS a_hi, b.lo AS b_lo, b.hi AS b_hi
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST({ham} AS INT) AS hamming
+FROM cand WHERE {ham} <= {bands - 1}
+"""
+
+
+SQL_SIMHASH_PAIRS = sql_dedup_simhash_pairs(_DEDUP_CFG)
+
+
+def q_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-population skew metrics for EVERY banded dedup family
+    (simhash bands, minhash LSH bands, embedding sign-buckets) — the 'no
+    silent caps' surface: the max bucket population is exactly what goes
+    quadratic in each family's band-key self-join, so a skewed corpus is
+    visible in this metrics table BEFORE it is slow. One row per
+    (family, band): bucket count, max population, total banded rows.
+    Never materializes candidate pairs — two compact-key partial-agg
+    shuffles per family (textops.band_population_stats)."""
+    cfg = _DEDUP_CFG
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textops.md5_digests(F.split("text", " ")).alias("dg")
+    )
+    sim_banded = _simhash_wide_packed(
+        docs, cfg.simhash_bands, cfg.simhash_band_bits
+    ).select(F.explode_outer("keys").alias("bk"))
+    sim = textops.band_population_stats(sim_banded, "simhash")
+
+    mh_docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", textops.shingles_of_words(F.col("w")).alias("sh"))
+        .select("doc_id", textops.md5_digests(F.col("sh")).alias("dg"))
+    )
+    mh_banded = (
+        mh_docs.select("doc_id", textops.minhash_signature(F.col("dg")).alias("sig"))
+        .select(F.explode_outer(textops.lsh_band_keys(F.col("sig"))).alias("bk"))
+    )
+    mh = textops.band_population_stats(mh_banded, "minhash")
+
+    emb_banded = _augmented_embeddings_bucketed(spark, sf_dir).select(
+        F.concat_ws(
+            ":", F.lit("0"), F.col("label").cast("string"),
+            F.col("_bucket").cast("string"),
+        ).alias("bk")
+    )
+    emb = textops.band_population_stats(emb_banded, "embedding")
+
+    return sim.unionByName(mh).unionByName(emb)
+
+
+def _sql_band_stats(family: str, banded_cte: str) -> str:
+    return f"""
+  SELECT '{family}' AS family,
+         CAST(string_split(bk, ':')[1] AS INT) AS band,
+         count(*) AS n_buckets,
+         max(n) AS max_bucket,
+         CAST(sum(n) AS BIGINT) AS n_rows
+  FROM (SELECT bk, count(*) AS n FROM {banded_cte} GROUP BY bk)
+  GROUP BY band"""
+
+
+SQL_BAND_STATS = f"""
+WITH dg AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> md5(t)) AS dgs
+  FROM documents
+), simbands AS (
+  SELECT doc_id,
+         {",".join(f"({_simhash_wide_band_term(b, _DEDUP_CFG.simhash_band_bits)}) AS b{b}" for b in range(_DEDUP_CFG.simhash_bands))}
+  FROM dg
+), sim_banded AS (
+  SELECT unnest([
+    {",".join(f"'{b}:' || CAST(b{b} AS VARCHAR)" for b in range(_DEDUP_CFG.simhash_bands))}]) AS bk
+  FROM simbands
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])
+         ELSE [text] END) AS shingles
+  FROM documents
+), mhdg AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS digests FROM sh
+), sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(digests, d -> substr(d, 1, 4))),
+          list_min(list_transform(digests, d -> substr(d, 5, 4))),
+          list_min(list_transform(digests, d -> substr(d, 9, 4))),
+          list_min(list_transform(digests, d -> substr(d, 13, 4))),
+          list_min(list_transform(digests, d -> substr(d, 17, 4))),
+          list_min(list_transform(digests, d -> substr(d, 21, 4))),
+          list_min(list_transform(digests, d -> substr(d, 25, 4))),
+          list_min(list_transform(digests, d -> substr(d, 29, 4)))] AS sig
+  FROM mhdg
+), mh_banded AS (
+  SELECT unnest([
+    '0:' || sig[1] || ':' || sig[2],
+    '1:' || sig[3] || ':' || sig[4],
+    '2:' || sig[5] || ':' || sig[6],
+    '3:' || sig[7] || ':' || sig[8]]) AS bk
+  FROM sig
+), base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), clones AS (
+  SELECT vec_id + 100000 AS vec_id, label,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.02 ELSE x END) AS v
+  FROM base WHERE vec_id % 5 = 0
+), aug AS (
+  SELECT * FROM base UNION ALL SELECT * FROM clones
+), planes AS (
+  SELECT p.plane, j.j,
+         ((p.plane * 8191 + j.j * 127 + 13) * 2654435761) % 1000 / 1000.0 - 0.5
+           AS comp
+  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+       (SELECT unnest(range(0, 64)) AS j) j
+), vecs AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM aug
+), proj AS (
+  SELECT vec_id, plane, sum(x * comp) AS dotp
+  FROM vecs JOIN planes ON vecs.j = planes.j
+  GROUP BY vec_id, plane
+), buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN round(dotp, 6) > 0 THEN 1 << plane ELSE 0 END) AS INT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+), emb_banded AS (
+  SELECT '0:' || CAST(label AS VARCHAR) || ':' || CAST(bucket AS VARCHAR) AS bk
+  FROM aug JOIN buckets USING (vec_id)
+)
+{_sql_band_stats("simhash", "sim_banded")}
+UNION ALL
+{_sql_band_stats("minhash", "mh_banded")}
+UNION ALL
+{_sql_band_stats("embedding", "emb_banded")}
 """
 
 
@@ -932,17 +1233,25 @@ def q_c6_spatial_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 mask suppression as a relational spatial anti-join: candidate
     rects that do NOT intersect any keep-out rect (the reference's
     mask.intersects test, applyocr.py:109 / util.py:53-66, open-interval
-    overlap semantics). Rects synthesized deterministically from ``part``."""
+    overlap semantics). Rects synthesized deterministically from ``part``:
+    a 50×40 grid (stride 20/25) of 30×40 rects — wider/taller than the
+    stride, so keep-outs block NEIGHBORING cells too and the overlap
+    predicate is exercised in both dimensions. Keep-outs are the sparse
+    p_size = 50 slice (~2%), so the survivor set is NONZERO at every SF
+    (an empty↔empty hash match could not distinguish a correct anti-join
+    from a broken predicate — round-3 verdict) while still blocking a
+    nonzero share of candidates (5/109 at sf0.001, 449/962 at sf0.01,
+    9569/9620 at sf0.1)."""
     part = _t(spark, sf_dir, "part")
     rect = lambda df: df.select(
         "p_partkey",
         ((F.col("p_partkey") % 50) * 20).cast("double").alias("x0"),
         ((F.col("p_partkey") % 40) * 25).cast("double").alias("y0"),
-        ((F.col("p_partkey") % 50) * 20 + 120).cast("double").alias("x1"),
-        ((F.col("p_partkey") % 40) * 25 + 60).cast("double").alias("y1"),
+        ((F.col("p_partkey") % 50) * 20 + 30).cast("double").alias("x1"),
+        ((F.col("p_partkey") % 40) * 25 + 40).cast("double").alias("y1"),
     )
     cand = rect(part.filter(F.col("p_size") < 25))
-    keep_out = rect(part.filter(F.col("p_size") >= 25)).select(
+    keep_out = rect(part.filter(F.col("p_size") >= 50)).select(
         F.col("x0").alias("kx0"), F.col("y0").alias("ky0"),
         F.col("x1").alias("kx1"), F.col("y1").alias("ky1"),
     ).distinct()
@@ -960,11 +1269,11 @@ WITH r AS (
   SELECT p_partkey, p_size,
          CAST((p_partkey % 50) * 20 AS DOUBLE) AS x0,
          CAST((p_partkey % 40) * 25 AS DOUBLE) AS y0,
-         CAST((p_partkey % 50) * 20 + 120 AS DOUBLE) AS x1,
-         CAST((p_partkey % 40) * 25 + 60 AS DOUBLE) AS y1
+         CAST((p_partkey % 50) * 20 + 30 AS DOUBLE) AS x1,
+         CAST((p_partkey % 40) * 25 + 40 AS DOUBLE) AS y1
   FROM part
 ), cand AS (SELECT * FROM r WHERE p_size < 25),
-keep_out AS (SELECT DISTINCT x0 kx0, y0 ky0, x1 kx1, y1 ky1 FROM r WHERE p_size >= 25)
+keep_out AS (SELECT DISTINCT x0 kx0, y0 ky0, x1 kx1, y1 ky1 FROM r WHERE p_size >= 50)
 SELECT p_partkey, x0, y0, x1, y1 FROM cand
 WHERE NOT EXISTS (
   SELECT 1 FROM keep_out
@@ -973,16 +1282,10 @@ WHERE NOT EXISTS (
 """
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed: candidates must share
-    (label, sign-hyperplane bucket) — an equi-join on a compact key, NEVER
-    the O(n²)-per-label all-pairs product of round 1 — then exact cosine
-    rescoring keeps pairs ≥ 0.95.
-
-    The raw table has no near-duplicates (max within-label cosine ≈ 0.47),
-    so a deterministic clone set (every vec_id % 5 == 0, first component
-    × 1.02 → cosine ≈ 0.9998) is planted identically in both engines,
-    making the check exercise bucket collision + rescoring for real."""
+def _augmented_embeddings_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + the deterministic near-dup clone set, sign-hyperplane
+    bucketed (shared by the cosine near-dup query and the band-stats
+    metrics so both see the same join-key distribution)."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", "label",
@@ -996,7 +1299,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     aug = base.unionByName(clones)
-    bkt = aug.withColumn("_bucket", simsearch.lsh_bucket(F.col("embedding"), 8))
+    return aug.withColumn("_bucket", simsearch.lsh_bucket(F.col("embedding"), 8))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed: candidates must share
+    (label, sign-hyperplane bucket) — an equi-join on a compact key, NEVER
+    the O(n²)-per-label all-pairs product of round 1 — then exact cosine
+    rescoring keeps pairs ≥ 0.95.
+
+    The raw table has no near-duplicates (max within-label cosine ≈ 0.47),
+    so a deterministic clone set (every vec_id % 5 == 0, first component
+    × 1.02 → cosine ≈ 0.9998) is planted identically in both engines,
+    making the check exercise bucket collision + rescoring for real."""
+    bkt = _augmented_embeddings_bucketed(spark, sf_dir)
     pairs = bkt.alias("a").join(
         bkt.alias("b"),
         (F.col("a.label") == F.col("b.label"))
@@ -1077,15 +1393,36 @@ FROM documents WHERE doc_id % 25 = 0
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (T6's fuzzy union-distinct has this as its exact
-    relational face): sources present in documents but absent among
-    low-char docs."""
+    relational face): n_chars values realized ONLY by odd-id documents —
+    a genuine, NONZERO difference at every SF (120/121/6 rows at
+    sf0.001/0.01/0.1; the round-3 form was empty↔empty, which a broken
+    EXCEPT would also satisfy)."""
+    docs = _t(spark, sf_dir, "documents")
+    all_vals = docs.select("n_chars").distinct()
+    even = docs.filter(F.col("doc_id") % 2 == 0).select("n_chars").distinct()
+    return all_vals.exceptAll(even)
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT n_chars FROM documents
+EXCEPT
+SELECT DISTINCT n_chars FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def q_set_except_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assert-style companion (the P3 pattern — EXPECTED empty, and the
+    oracle agrees for the same structural reason): sources whose every
+    document is long. The corpus invariant is that every source mixes
+    short and long docs, so a nonzero row here means either the corpus
+    drifted or the EXCEPT is broken in an asymmetric way."""
     docs = _t(spark, sf_dir, "documents")
     all_sources = docs.select("source").distinct()
     low = docs.filter(F.col("n_chars") < 160).select("source").distinct()
     return all_sources.exceptAll(low)
 
 
-SQL_SET_EXCEPT = """
+SQL_SET_EXCEPT_EMPTY_GUARD = """
 SELECT DISTINCT source FROM documents
 EXCEPT
 SELECT DISTINCT source FROM documents WHERE n_chars < 160
@@ -1673,6 +2010,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_band_stats": (q_dedup_band_stats, SQL_BAND_STATS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBED),
     "c6_spatial_antijoin": (q_c6_spatial_antijoin, SQL_C6),
     "p6_crop_accept": (q_p6_crop_accept, SQL_P6),
@@ -1683,6 +2021,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "word_positions": (q_word_positions, SQL_WORD_POS),
     "set_except": (q_set_except, SQL_SET_EXCEPT),
+    "set_except_empty_guard": (q_set_except_empty_guard, SQL_SET_EXCEPT_EMPTY_GUARD),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),

@@ -123,8 +123,12 @@ def test_simhash_band_pigeonhole():
     from swissgeol_ocr_spark.plans.config import DedupConfig
 
     cfg = DedupConfig()
-    settings = [(32, 4, 8), (cfg.simhash_bits, cfg.simhash_bands, cfg.simhash_band_bits)]
-    assert (cfg.simhash_bands, cfg.simhash_band_bits) == (8, 7)  # the wide default
+    settings = [
+        (32, 4, 8),           # legacy narrow single-BIGINT setting
+        (56, 8, 7),           # the round-3 single-BIGINT wide setting
+        (cfg.simhash_bits, cfg.simhash_bands, cfg.simhash_band_bits),
+    ]
+    assert (cfg.simhash_bands, cfg.simhash_band_bits) == (8, 16)  # corpus-scale default
     rng = random.Random(7)
     for bits, bands, band_bits in settings:
         mask = (1 << band_bits) - 1
@@ -139,35 +143,45 @@ def test_simhash_band_pigeonhole():
 
 
 def test_simhash_banded_join_complete_wide(spark):
-    """End-to-end completeness at the wide setting: run the banded join of
-    simhash_band_keys over synthetic 56-bit fingerprints and compare
-    against the exact all-pairs Hamming ≤ 7 ground truth."""
+    """End-to-end completeness at the corpus-scale setting: run the banded
+    join over synthetic 128-bit fingerprints stored as two BIGINT halves
+    and compare against the exact all-pairs Hamming ≤ 7 ground truth. Near
+    pairs are planted at every distance 0..7 including bits 63 and 127 —
+    the sign bits of both halves, where a shift/sign bug would bite."""
     import random
 
     from pyspark.sql import functions as F
 
-    from swissgeol_ocr_spark.functions.textops import simhash_band_keys
+    from swissgeol_ocr_spark.functions.textops import (
+        hamming_two_bigint,
+        simhash_band_keys_from_halves,
+    )
     from swissgeol_ocr_spark.plans.config import DedupConfig
 
     cfg = DedupConfig()
+    assert cfg.simhash_bits == 128
     rng = random.Random(41)
     fps = [rng.getrandbits(cfg.simhash_bits) for _ in range(120)]
-    # plant near pairs at every distance 0..7 (including bit positions in
-    # the top band, where a sign bug would bite)
     for d in range(8):
         base = rng.getrandbits(cfg.simhash_bits)
         other = base
-        for bit in rng.sample(range(cfg.simhash_bits), d):
+        # force the sign-bit positions into the planted flips
+        for bit in ([63, 127][:d] + rng.sample(range(cfg.simhash_bits), max(0, d - 2)))[:d]:
             other ^= 1 << bit
         fps += [base, other]
-    df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(fps)], "vid long, fp long"
-    )
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    rows = [
+        (i, signed(f & ((1 << 64) - 1)), signed(f >> 64)) for i, f in enumerate(fps)
+    ]
+    df = spark.createDataFrame(rows, "vid long, lo long, hi long")
     banded = df.select(
-        "vid", "fp",
+        "vid", "lo", "hi",
         F.explode(
-            simhash_band_keys(
-                F.col("fp"), bands=cfg.simhash_bands, band_bits=cfg.simhash_band_bits
+            simhash_band_keys_from_halves(
+                F.col("lo"), F.col("hi"), cfg.simhash_bands, cfg.simhash_band_bits
             )
         ).alias("bk"),
     )
@@ -175,8 +189,12 @@ def test_simhash_banded_join_complete_wide(spark):
         (r.a, r.b)
         for r in banded.alias("x")
         .join(banded.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.vid") < F.col("y.vid")))
-        .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"),
-                F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))).alias("h"))
+        .select(
+            F.col("x.vid").alias("a"), F.col("y.vid").alias("b"),
+            hamming_two_bigint(
+                F.col("x.lo"), F.col("x.hi"), F.col("y.lo"), F.col("y.hi")
+            ).alias("h"),
+        )
         .filter(F.col("h") <= cfg.simhash_bands - 1)
         .distinct()
         .collect()
@@ -260,22 +278,24 @@ def test_connected_components_strict_raises_on_nonconvergence(spark):
 
 
 def test_simhash_scale_knob_cross_setting_consistency(spark):
-    """Exercise the DedupConfig scale lever end-to-end: the 4-band × 14-bit
-    setting (16k buckets per band — the bucket-count shape a 10^12-doc run
-    needs) is pigeonhole-complete for d ≤ 3, so its pair set must EQUAL the
-    registered wide 8×7 query's pairs filtered to hamming ≤ 3 — both are
-    complete in that range over the same 56-bit fingerprints."""
+    """Exercise the DedupConfig scale lever end-to-end, on BOTH fingerprint
+    representations: (a) the corpus-scale 128-bit default (8×16, d ≤ 7
+    complete) rebanded as 4×32 is d ≤ 3 complete over the SAME fingerprint,
+    so its pair set must EQUAL the default's pairs filtered to hamming ≤ 3;
+    (b) the same relation between the legacy single-BIGINT 8×7 and 4×14
+    settings over the 56-bit fingerprint."""
     from swissgeol_ocr_spark.plans.config import DedupConfig
     from swissgeol_ocr_spark.plans.queries import q_dedup_simhash_pairs
 
-    wide = q_dedup_simhash_pairs(spark, SF_DIR).collect()
-    narrow_cfg = DedupConfig(simhash_bands=4, simhash_band_bits=14)
-    assert narrow_cfg.simhash_bits == 56  # same fingerprint, different bands
-    narrow = q_dedup_simhash_pairs(spark, SF_DIR, config=narrow_cfg).collect()
-
-    wide_d3 = {(r.a_id, r.b_id, r.hamming) for r in wide if r.hamming <= 3}
-    narrow_set = {(r.a_id, r.b_id, r.hamming) for r in narrow}
-    assert narrow_set == wide_d3
+    for wide_cfg, narrow_cfg in [
+        (None, DedupConfig(simhash_bands=4, simhash_band_bits=32)),     # 128-bit
+        (DedupConfig(8, 7), DedupConfig(simhash_bands=4, simhash_band_bits=14)),  # 56-bit
+    ]:
+        wide = q_dedup_simhash_pairs(spark, SF_DIR, config=wide_cfg).collect()
+        narrow = q_dedup_simhash_pairs(spark, SF_DIR, config=narrow_cfg).collect()
+        wide_d3 = {(r.a_id, r.b_id, r.hamming) for r in wide if r.hamming <= 3}
+        narrow_set = {(r.a_id, r.b_id, r.hamming) for r in narrow}
+        assert narrow_set == wide_d3, (wide_cfg, narrow_cfg)
 
 
 # Golden-backed oracles are pinned to sf0.01 parquets; everything else must
@@ -298,3 +318,41 @@ def test_query_matches_oracle_second_sf(spark, name):
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
     assert _values_equal(_canon(sdf), _canon(ddf)), f"{name}: sf0.001 mismatch"
+
+
+def test_band_stats_adversarial_skew(spark):
+    """The band-population metrics must make a skewed corpus VISIBLE: on an
+    adversarial corpus where half the docs are byte-identical, every
+    simhash band shows a hot bucket holding at least that clone block —
+    the quantity that would go quadratic in the candidate join. On the
+    all-identical corpus each band collapses to exactly one bucket."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.functions import textops
+    from swissgeol_ocr_spark.plans.queries import _simhash_wide_packed
+
+    def banded_of(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", textops.md5_digests(F.split("text", " ")).alias("dg")
+        )
+        return _simhash_wide_packed(docs, 8, 16).select(
+            F.explode("keys").alias("bk")
+        )
+
+    n = 64
+    all_same = banded_of([(i, "the same text in every row") for i in range(n)])
+    stats = {r.band: r for r in
+             textops.band_population_stats(all_same, "simhash").collect()}
+    assert set(stats) == set(range(8))
+    for r in stats.values():
+        assert (r.n_buckets, r.max_bucket, r.n_rows) == (1, n, n)
+
+    half = [(i, "hot duplicated document body") for i in range(n // 2)]
+    half += [(n // 2 + i, f"unique text number {i} with filler w{i} v{i*7}")
+             for i in range(n // 2)]
+    mixed = {r.band: r for r in
+             textops.band_population_stats(banded_of(half), "simhash").collect()}
+    for r in mixed.values():
+        assert r.max_bucket >= n // 2      # the hot bucket is visible
+        assert r.n_buckets > 1             # and it is not the whole corpus
+        assert r.n_rows == n
