@@ -668,6 +668,68 @@ def _extract_page(
     return emitted
 
 
+# ---------------------------------------------------------------------------
+# P1/P2 — corrupt-input salvage (preprocess/preprocess_doc.py:8-49 page-tree
+# repair + ocr/__init__.py:40-57 error-handling retry), row-at-a-time like
+# the reference walks the page tree. Independent of the kernel's vectorized
+# numpy form (operators/extract.salvage_document_inputs) — tests/test_twin.py
+# pins the two equal on adversarial/hypothesis poison inputs.
+# ---------------------------------------------------------------------------
+
+_SALVAGE_INT_CAP = 2.0 ** 62  # exactly representable in float64, inside int64
+_SALVAGE_COORD_CAP = 1e6
+
+
+def _salvage_nonneg_int(v) -> int:
+    """null / non-finite / negative → 0; finite huge → cap; truncate."""
+    v = 0.0 if v is None else float(v)
+    if not math.isfinite(v) or v < 0.0:
+        v = 0.0
+    if v > _SALVAGE_INT_CAP:
+        v = _SALVAGE_INT_CAP
+    return int(v)
+
+
+def _salvage_coord(c) -> float:
+    c = 0.0 if c is None else float(c)
+    if not math.isfinite(c):
+        c = 0.0
+    return min(max(c, 0.0), _SALVAGE_COORD_CAP)
+
+
+def twin_salvage(spans: list[tuple], offsets: list | None = None):
+    """Best-effort repair of malformed span rows so extraction can be
+    retried instead of quarantining the document: null strings → '',
+    non-finite/out-of-range geometry zeroed/clamped, inverted rect corners
+    swapped, confidence clipped to [0, 1], non-finite orientation → 0,
+    page numbers (and ``offsets``, when given) made safe non-negative
+    ints. Returns salvaged spans (and offsets when given)."""
+    out = []
+    for kind, text, media_ref, page, rect, conf, orient in spans:
+        x0, y0, x1, y1 = (_salvage_coord(c) for c in rect)
+        conf = 0.0 if conf is None else float(conf)
+        if not math.isfinite(conf):
+            conf = 0.0
+        conf = min(max(conf, 0.0), 1.0)
+        orient = 0.0 if orient is None else float(orient)
+        if not math.isfinite(orient):
+            orient = 0.0
+        out.append(
+            (
+                "" if kind is None else kind,
+                "" if text is None else text,
+                "" if media_ref is None else media_ref,
+                _salvage_nonneg_int(page),
+                (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1)),
+                conf,
+                orient,
+            )
+        )
+    if offsets is None:
+        return out
+    return out, [_salvage_nonneg_int(v) for v in offsets]
+
+
 def twin_extract(
     spans: list[tuple],
     aggressive: bool = False,

@@ -143,3 +143,88 @@ def test_twin_matches_kernel_property(spans, cfg_kind):
     lowest-index rule must hold in both)."""
     cfg, twin_kw = CONFIGS[cfg_kind]
     assert ref_twin.twin_extract(spans, **twin_kw) == run_kernel(spans, cfg)
+
+
+from swissgeol_ocr_spark.operators.extract import salvage_document_inputs
+
+_POISON_NUM = [None, float("nan"), float("inf"), float("-inf"), -7.0, 1e300,
+               2.0 ** 63, 0.3, 12.0, -0.0]
+_POISON_STR = [None, "", "alpha beta", "gamma"]
+
+
+def _poison_spans(rng, n):
+    spans, offsets = [], []
+    for _ in range(n):
+        rect = tuple(rng.choice(_POISON_NUM) for _ in range(4))
+        spans.append(
+            (
+                rng.choice([None, "text", "media", "ocr-text", "path"]),
+                rng.choice(_POISON_STR),
+                rng.choice([None, "", "m-1"]),
+                rng.choice(_POISON_NUM),
+                rect,
+                rng.choice(_POISON_NUM),
+                rng.choice(_POISON_NUM),
+            )
+        )
+        offsets.append(rng.choice(_POISON_NUM))
+    return spans, offsets
+
+
+def test_twin_salvage_matches_kernel_salvage():
+    """P1/P2 salvage parity: the twin's row-at-a-time repair must agree
+    value-for-value with the kernel's vectorized salvage_document_inputs
+    on nulls, NaN/±inf, negative and overflow-huge floats, inverted rect
+    corners and out-of-range confidences (the round-3 verdict's one
+    twin-coverage gap)."""
+    rng = random.Random(20260817)
+    for trial in range(120):
+        n = rng.randint(1, 24)
+        spans, offsets = _poison_spans(rng, n)
+        twin_spans, twin_offsets = ref_twin.twin_salvage(spans, offsets)
+
+        kinds = [s[0] for s in spans]
+        texts = [s[1] for s in spans]
+        medias = [s[2] for s in spans]
+        pages = [s[3] for s in spans]
+        rects = [list(s[4]) for s in spans]
+        confs = [s[5] for s in spans]
+        orients = [s[6] for s in spans]
+        (kk, kt, km, koff, kpage, krect, kconf, korient) = salvage_document_inputs(
+            kinds, texts, medias, offsets, pages, rects, confs, orients
+        )
+        for i in range(n):
+            tk, tt, tm, tp, tr, tc, to = twin_spans[i]
+            assert (tk, tt, tm) == (kk[i], kt[i], km[i]), (trial, i)
+            assert tp == int(kpage[i]) and twin_offsets[i] == int(koff[i]), (trial, i)
+            assert tuple(tr) == tuple(krect[i].tolist()), (trial, i, spans[i])
+            assert (tc, to) == (float(kconf[i]), float(korient[i])), (trial, i)
+
+
+@pytest.mark.parametrize("cfg_kind", list(CONFIGS))
+def test_twin_salvage_then_extract_matches_kernel(cfg_kind):
+    """End-to-end: salvage → extract must agree between the twin chain and
+    the kernel chain on poison geometry (healthy arange offsets — offset
+    VALUE salvage is pinned above; its ordering semantics are the batch
+    kernel's own contract)."""
+    cfg, twin_kw = CONFIGS[cfg_kind]
+    rng = random.Random(97 + len(cfg_kind))
+    for trial in range(60):
+        n = rng.randint(1, 20)
+        spans, _ = _poison_spans(rng, n)
+        twin_out = ref_twin.twin_extract(
+            ref_twin.twin_salvage(spans), **twin_kw
+        )
+        kinds = [s[0] for s in spans]
+        texts = [s[1] for s in spans]
+        medias = [s[2] for s in spans]
+        salvaged = salvage_document_inputs(
+            kinds, texts, medias,
+            list(range(n)),
+            [s[3] for s in spans],
+            [list(s[4]) for s in spans],
+            [s[5] for s in spans],
+            [s[6] for s in spans],
+        )
+        kernel_out = extract_document(*salvaged, cfg)
+        assert twin_out == kernel_out, (cfg_kind, trial, spans)
