@@ -1,0 +1,114 @@
+"""O3 — the reference's submit/poll task registry, engine-side.
+
+Faithful analogue of the reference's API surface (api.py:31-93) and its
+process-local registry (utils/task.py:28-62):
+
+* ``submit``  — the POST ``/`` handler: 400 for an invalid name, 422 when
+  the input does not exist, otherwise AT MOST ONE in-flight task per
+  doc_id (a re-submit while running starts nothing and still answers 204,
+  exactly ``task.start`` returning False into a 204 response)
+* ``collect`` — the POST ``/collect`` handler: 422 when no task is
+  registered ("OCR is not running for this file"), ``has_finished: False``
+  while running, and the result DELIVERED EXACTLY ONCE — collecting a
+  finished task removes it (``task.collect_result`` deletes the entry), so
+  a second poll answers 422 and a later re-submit starts a fresh task
+* a failed target is still "finished": ``has_finished: True`` with
+  ``error: "Internal Server Error"`` (api.py:87-93), never an exception
+  out of the poll surface
+
+This registry is driver-side state BY DESIGN, mirroring the reference's
+in-process ``active_tasks`` dict: it coordinates request-level submit/poll
+bookkeeping, not data-plane work — the heavy lifting stays in the Spark
+job the ``run`` callable launches. At fleet scale one registry fronts one
+driver, exactly like one reference API pod fronts one processor.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+# mirror the reference's HTTP statuses so tests read like its API tests
+NO_CONTENT = 204
+OK = 200
+BAD_REQUEST = 400
+UNPROCESSABLE_ENTITY = 422
+
+
+@dataclass
+class _Task:
+    doc_id: str
+    result: "_Output | None" = None
+
+
+@dataclass
+class _Output:
+    ok: bool
+    value: Any
+
+
+@dataclass
+class TaskRegistry:
+    """At-most-one-in-flight submit/poll registry (utils/task.py:28-62).
+
+    ``exists(doc_id)`` answers the reference's S3 input-file existence
+    probe (api.py:44-53); ``run(doc_id)`` is the processing target (the
+    extraction job for that document). ``synchronous=True`` runs the
+    target inline on submit (deterministic tests, availableNow-style);
+    otherwise a daemon thread mirrors FastAPI's BackgroundTasks."""
+
+    exists: Callable[[str], bool]
+    run: Callable[[str], Any]
+    validate: Callable[[str], bool] = lambda doc_id: bool(doc_id)
+    synchronous: bool = False
+    _tasks: dict[str, _Task] = field(default_factory=dict)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def submit(self, doc_id: str) -> int:
+        """POST ``/`` (api.py:31-56). Returns the HTTP-shaped status."""
+        if not self.validate(doc_id):
+            return BAD_REQUEST  # "input must be a PDF file"
+        if not self.exists(doc_id):
+            return UNPROCESSABLE_ENTITY  # "file does not exist"
+        with self._lock:
+            if doc_id in self._tasks:
+                # task.start returns False → the handler still answers 204:
+                # idempotent re-submit, no second task
+                return NO_CONTENT
+            self._tasks[doc_id] = _Task(doc_id=doc_id)
+        if self.synchronous:
+            self._run(doc_id)
+        else:
+            threading.Thread(target=self._run, args=(doc_id,), daemon=True).start()
+        return NO_CONTENT
+
+    def has_task(self, doc_id: str) -> bool:
+        with self._lock:
+            return doc_id in self._tasks
+
+    def collect(self, doc_id: str) -> tuple[int, dict | None]:
+        """POST ``/collect`` (api.py:63-93). Returns (status, body)."""
+        with self._lock:
+            task = self._tasks.get(doc_id)
+            if task is None:
+                return UNPROCESSABLE_ENTITY, None  # "OCR is not running"
+            result = task.result
+            if result is None:
+                return OK, {"has_finished": False, "data": None}
+            del self._tasks[doc_id]  # delivered once, then removed
+        if result.ok:
+            return OK, {"has_finished": True, "data": result.value}
+        return OK, {"has_finished": True, "error": "Internal Server Error"}
+
+    def _run(self, doc_id: str) -> None:
+        """utils/task.py:49-62 — a crashing target becomes a not-ok result,
+        never an unhandled exception."""
+        try:
+            result = _Output(ok=True, value=self.run(doc_id))
+        except Exception as exc:  # noqa: BLE001 — the reference catches all
+            result = _Output(ok=False, value=exc)
+        with self._lock:
+            task = self._tasks.get(doc_id)
+            if task is not None:
+                task.result = result
