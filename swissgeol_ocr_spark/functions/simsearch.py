@@ -76,20 +76,29 @@ def hyperplane_component(plane: int, j: Column) -> Column:
     return F.pmod(x, F.lit(1000)).cast("double") / 1000.0 - 0.5
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-bucket id in [0, 2^n_planes): bit p set iff dot(vec, plane_p) > 0.
+def lsh_bucket(vec: Column, n_planes: int = 8, plane_offset: int = 0) -> Column:
+    """Sign-bucket id in [0, 2^n_planes): bit p set iff
+    dot(vec, plane_{plane_offset+p}) > 0. ``plane_offset`` selects an
+    independent hash table from the same deterministic plane family
+    (table t passes t·n_planes).
 
     The sign is taken on the projection ROUNDED to 6dp: Spark's aggregate()
     folds the sum sequentially while a SQL twin's GROUP BY sum is unordered,
     so an unrounded projection epsilon-close to zero could flip the bit between
     engines (same margin trick as the cosine scores / IVF assignment)."""
     bucket = F.lit(0)
+
+    def _times_plane(plane):
+        # factory, not a default parameter: PySpark derives HOF arity from
+        # the lambda signature, so `lambda x, j, p=p` would become a
+        # 3-argument lambda and break F.transform
+        return lambda x, j: x.cast("double") * hyperplane_component(
+            plane, j.cast("long")
+        )
+
     for p in range(n_planes):
         proj = F.aggregate(
-            F.transform(
-                vec,
-                lambda x, j: x.cast("double") * hyperplane_component(p, j.cast("long")),
-            ),
+            F.transform(vec, _times_plane(plane_offset + p)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -276,38 +285,71 @@ def ivf_ann(
     )
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for the multi-probe ring: the bucket itself plus every
+    bucket within Hamming distance ``probe_hamming`` (1 + C(n,1) + C(n,2)
+    + ... — 37 masks at 8 planes / distance 2). Deterministic order so the
+    DuckDB twin enumerates the identical probe set."""
+    from itertools import combinations
+
+    masks = [0]
+    for d in range(1, probe_hamming + 1):
+        masks += [
+            sum(1 << b for b in bits) for bits in combinations(range(n_planes), d)
+        ]
+    return masks
+
+
 def lsh_ann(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 2,
+    probe_hamming: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact scoring to the query's LSH
-    bucket and its ``n_planes`` Hamming-1 neighbor buckets (multi-probe —
-    a true neighbor that straddles ONE hyperplane lands one bit away, so
-    probing the 1-bit ring recovers most of the single-bucket recall loss
-    at (n_planes+1)/2^n_planes of the corpus scanned). At fleet scale the
-    bucket column is precomputed+partitioned, so a query touches
-    n_planes+1 partitions instead of the whole corpus; the probe set stays
-    broadcast-size."""
-    with_bucket = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes))
-    probes = F.array(
-        F.col("_qbucket"),
-        *[F.col("_qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-    )
-    q = (
-        with_bucket.filter(F.col(id_col) == query_vec_id)
-        .select(F.col(vec_col).alias("_qvec"), F.col("_bucket").alias("_qbucket"))
-        .select("_qvec", F.explode(probes).alias("_probe"))
-    )
-    scored = (
-        with_bucket.filter(F.col(id_col) != query_vec_id)
-        .join(F.broadcast(q), F.col("_bucket") == F.col("_probe"))
-        .select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    """Approximate top-k: exact scoring restricted to the UNION over
+    ``n_tables`` independent hash tables (table t uses hyperplanes
+    [t·n_planes, (t+1)·n_planes) — same deterministic plane formula) of
+    the query's bucket and its Hamming ≤ ``probe_hamming`` probe ring. A
+    true neighbor straddling a few hyperplanes in one table rarely
+    straddles them in the other too, so tables multiply recall where a
+    deeper ring in one table merely widens it: measured recall@10 on the
+    sf0.01 embeddings is 0.05 (1 table, bucket only) → 0.175 (1 table,
+    H1 ring) → 0.5 (2 tables, H2 ring; pinned in tests/test_ann_recall).
+
+    Scanned fraction stays sublinear and tunable: n_tables ·
+    |probe ring| / 2^n_planes of the corpus (2·37/256 ≈ 29% here; at
+    fleet scale grow n_planes so buckets stay fine — the probe set is
+    always broadcast-size, the per-table candidate fetch is a
+    BroadcastHashJoin against the bucket-partitioned corpus, and the
+    cross-table dedup is one partial-agg shuffle over candidates only,
+    never the corpus)."""
+    wb = embeddings
+    for t in range(n_tables):
+        wb = wb.withColumn(
+            f"_b{t}", lsh_bucket(F.col(vec_col), n_planes, plane_offset=t * n_planes)
         )
-    )
-    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    masks = probe_masks(n_planes, probe_hamming)
+    qrow = wb.filter(F.col(id_col) == query_vec_id)
+    scored = None
+    for t in range(n_tables):
+        probes = F.array(
+            *[F.col(f"_b{t}").bitwiseXOR(F.lit(m)) for m in masks]
+        )
+        q = qrow.select(
+            F.col(vec_col).alias("_qvec"), F.explode(probes).alias("_probe")
+        )
+        c = (
+            wb.filter(F.col(id_col) != query_vec_id)
+            .join(F.broadcast(q), F.col(f"_b{t}") == F.col("_probe"))
+            .select(
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+            )
+        )
+        scored = c if scored is None else scored.unionByName(c)
+    deduped = scored.groupBy(id_col).agg(F.max("cos_sim").alias("cos_sim"))
+    return deduped.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)

@@ -1460,16 +1460,54 @@ FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe LSH ANN (2 independent hash tables × the
+    Hamming-2 probe ring — measured recall@10 0.5 vs 0.175 for the
+    round-3 single-table H1 ring, pinned in tests/test_ann_recall)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return simsearch.lsh_ann(emb, query_vec_id=0, k=10, n_planes=8)
+    return simsearch.lsh_ann(
+        emb, query_vec_id=0, k=10, n_planes=8, n_tables=2, probe_hamming=2
+    )
 
 
-SQL_LSH_ANN = """
+def _sql_lsh_ann(
+    n_planes: int = 8,
+    n_tables: int = 2,
+    probe_hamming: int = 2,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of simsearch.lsh_ann, generated from the SAME knobs:
+    per-table buckets from the shared plane family (table t = planes
+    [t·n_planes, (t+1)·n_planes)), identical probe-mask enumeration
+    (simsearch.probe_masks), UNION-deduped candidates, exact rescoring."""
+    masks = simsearch.probe_masks(n_planes, probe_hamming)
+    bucket_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN plane // {n_planes} = {t} AND round(dotp, 6) > 0 "
+        f"THEN 1 << (plane % {n_planes}) ELSE 0 END) AS INT) AS b{t}"
+        for t in range(n_tables)
+    )
+    q_ctes = ",\n".join(
+        f"""q{t} AS (
+  SELECT e.embedding AS qvec,
+         unnest([{", ".join(f"xor(b.b{t}, {m})" for m in masks)}]) AS probe
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  WHERE e.vec_id = {query_vec_id}
+)"""
+        for t in range(n_tables)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"""  SELECT e.vec_id, e.embedding, q{t}.qvec
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  JOIN q{t} ON b.b{t} = q{t}.probe
+  WHERE e.vec_id <> {query_vec_id}"""
+        for t in range(n_tables)
+    )
+    return f"""
 WITH planes AS (
   SELECT p.plane, j.j,
          ((p.plane * 8191 + j.j * 127 + 13) * 2654435761) % 1000 / 1000.0 - 0.5
            AS comp
-  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+  FROM (SELECT unnest(range(0, {n_tables * n_planes})) AS plane) p,
        (SELECT unnest(range(0, 64)) AS j) j
 ), vecs AS (
   SELECT vec_id,
@@ -1481,22 +1519,13 @@ WITH planes AS (
   FROM vecs JOIN planes ON vecs.j = planes.j
   GROUP BY vec_id, plane
 ), buckets AS (
-  SELECT vec_id, CAST(sum(CASE WHEN round(dotp, 6) > 0 THEN 1 << plane ELSE 0 END) AS INT)
-           AS bucket
+  SELECT vec_id,
+         {bucket_cols}
   FROM proj GROUP BY vec_id
-), q AS (
-  -- multi-probe: the query's bucket plus its 8 Hamming-1 neighbors
-  SELECT e.embedding AS qvec,
-         unnest([b.bucket,
-                 xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4),
-                 xor(b.bucket, 8), xor(b.bucket, 16), xor(b.bucket, 32),
-                 xor(b.bucket, 64), xor(b.bucket, 128)]) AS probe
-  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id = 0
-), cand AS (
-  SELECT e.vec_id, e.embedding, q.qvec
-  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-  JOIN q ON b.bucket = q.probe
-  WHERE e.vec_id <> 0
+),
+{q_ctes},
+cand AS (
+{cand_union}
 ), expl AS (
   SELECT vec_id,
          CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1510,8 +1539,11 @@ WITH planes AS (
   FROM expl GROUP BY vec_id
 )
 SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
-FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
 """
+
+
+SQL_LSH_ANN = _sql_lsh_ann()
 
 
 # ---------------------------------------------------------------------------
