@@ -46,6 +46,7 @@ def main() -> None:
     from swissgeol_ocr_spark.plans.pipeline import (
         configure_spark,
         extract_pipeline,
+        read_committed,
         write_output,
     )
 
@@ -58,7 +59,7 @@ def main() -> None:
         use_aggressive_strategy=args.aggressive,
     )
     spans = spark.read.parquet(args.input)
-    done = spark.read.parquet(args.done).select("doc_id") if args.done else None
+    done = read_committed(spark, args.done).select("doc_id") if args.done else None
     out = extract_pipeline(
         spans,
         config=config,

@@ -1,27 +1,75 @@
 """Sink + checkpoint/resume round-trip tests (reference S3/S4/S5/E3
-semantics: skip-existing via committed doc_ids, output + metrics commit)."""
+semantics: skip-existing via committed doc_ids, output + metrics commit).
+
+The roundtrip runs once per sink backend: ``parquet`` always, ``iceberg``
+when a live catalog is configured (this container ships no Iceberg jar, so
+the iceberg leg skips cleanly here and activates unchanged on a cluster
+image that has one — the gating itself is tested unconditionally below)."""
+
+import pytest
 
 from pyspark.sql import functions as F
 
 from swissgeol_ocr_spark.plans.pipeline import (
     extract_pipeline,
+    iceberg_catalog,
+    read_committed,
+    resolve_sink_backend,
     resume_filter,
     write_output,
 )
 from swissgeol_ocr_spark.sources.corpus import documents_to_spans
 
 
-def test_write_resume_roundtrip(spark, sf_dir, tmp_path):
-    out_path = str(tmp_path / "out")
-    metrics_path = str(tmp_path / "metrics")
+def test_sink_backend_gating(spark):
+    """Backend resolution on a session without the Iceberg jar: auto falls
+    back to parquet, an explicitly requested iceberg sink fails at resolve
+    time (not at first write), unknown names are rejected — and a catalog
+    that is CONFIGURED but whose jar is absent still resolves to parquet
+    (config alone must not flip the sink; Class.forName is the gate)."""
+    assert iceberg_catalog(spark) is None
+    assert resolve_sink_backend(spark, "auto") == "parquet"
+    assert resolve_sink_backend(spark, "parquet") == "parquet"
+    with pytest.raises(RuntimeError, match="iceberg"):
+        resolve_sink_backend(spark, "iceberg")
+    with pytest.raises(ValueError):
+        resolve_sink_backend(spark, "delta")
+    spark.conf.set(
+        "spark.sql.catalog.sinktest", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert iceberg_catalog(spark) is None  # class not loadable
+        assert resolve_sink_backend(spark, "auto") == "parquet"
+    finally:
+        spark.conf.unset("spark.sql.catalog.sinktest")
+
+
+@pytest.fixture(params=["parquet", "iceberg"])
+def sink_backend(request, spark):
+    if request.param == "iceberg" and iceberg_catalog(spark) is None:
+        pytest.skip("no loadable Iceberg catalog configured in this session")
+    return request.param
+
+
+def test_write_resume_roundtrip(spark, sf_dir, tmp_path, sink_backend):
+    if sink_backend == "iceberg":
+        cat = iceberg_catalog(spark)
+        out_path = f"{cat}.sinktest.out"
+        metrics_path = f"{cat}.sinktest.metrics"
+    else:
+        out_path = str(tmp_path / "out")
+        metrics_path = str(tmp_path / "metrics")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
     spans = documents_to_spans(docs).cache()
 
     # run 1: first half
     first = spans.limit(20)
-    write_output(extract_pipeline(first), out_path, run_id="run-1", metrics_path=metrics_path)
-    committed = spark.read.parquet(out_path)
+    write_output(
+        extract_pipeline(first), out_path, run_id="run-1",
+        metrics_path=metrics_path, backend=sink_backend,
+    )
+    committed = read_committed(spark, out_path, backend=sink_backend)
     assert committed.count() == 20
 
     # resume: anti-join against committed doc_ids leaves the second half
@@ -29,15 +77,18 @@ def test_write_resume_roundtrip(spark, sf_dir, tmp_path):
     assert remaining.count() == spans.count() - 20
 
     # run 2: the rest
-    write_output(extract_pipeline(remaining), out_path, run_id="run-2", metrics_path=metrics_path)
-    committed = spark.read.parquet(out_path)
+    write_output(
+        extract_pipeline(remaining), out_path, run_id="run-2",
+        metrics_path=metrics_path, backend=sink_backend,
+    )
+    committed = read_committed(spark, out_path, backend=sink_backend)
     assert committed.count() == spans.count()
     assert committed.select("doc_id").distinct().count() == spans.count()
     # nothing left to do
     assert resume_filter(spans, committed).count() == 0
 
     # metrics: one row per doc per run, with per-partition lineage fields
-    metrics = spark.read.parquet(metrics_path)
+    metrics = read_committed(spark, metrics_path, backend=sink_backend)
     assert metrics.count() == spans.count()
     assert set(metrics.columns) >= {
         "doc_id", "n_pages", "n_spans_in", "n_spans_out", "partition_id", "run_id", "ts",
