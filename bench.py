@@ -89,14 +89,15 @@ def prepare_extraction(spark, sf_dir: str, replicate: int | None = None):
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans, replicate_documents
 
     replicate = replicate or int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "40"))
+    mega_factor = int(os.environ.get("SPARK_GRAFT_BENCH_MEGA_FACTOR", "0")) or None
     cores = spark.sparkContext.defaultParallelism
     n_part = 8 * cores  # 8 waves per core — evens out straggler tails
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # pre-bucket by hash(doc_id), the steady-state layout of the 100 TB
     # Iceberg table; the pipeline then runs shuffle-free (repartition=False)
-    spans = documents_to_spans(replicate_documents(docs, replicate)).repartition(
-        n_part, "doc_id"
-    )
+    spans = documents_to_spans(
+        replicate_documents(docs, replicate), mega_factor=mega_factor
+    ).repartition(n_part, "doc_id")
     spans = spans.persist()
     n_docs = spans.count()  # materialize corpus before timing
     # table-stats lookup (free from Iceberg column max at real scale; one
@@ -124,19 +125,6 @@ def timed_extraction(spark, spans, has_mega: bool) -> float:
     out = extract_pipeline(spans, repartition=False, has_mega=has_mega)
     out.agg(F.sum("n_spans_out")).collect()
     return time.perf_counter() - t0
-
-
-def extraction_docs_per_sec(
-    spark, sf_dir: str, replicate: int | None = None
-) -> tuple[float, int, float]:
-    """Peak extraction throughput: best of SPARK_GRAFT_BENCH_REPEATS timed
-    runs in one warmed JVM (single runs swing ±15% on shared cloud hosts;
-    peak sustained throughput is what the scaling protocol compares)."""
-    spans, has_mega, n_docs = prepare_extraction(spark, sf_dir, replicate)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    elapsed = min(timed_extraction(spark, spans, has_mega) for _ in range(repeats))
-    spans.unpersist()
-    return n_docs / elapsed, n_docs, elapsed
 
 
 def main_bench() -> None:
@@ -182,12 +170,45 @@ def main_bench() -> None:
 
 
 def one_scaling_run(cores: str) -> None:
-    """Subprocess entry: one extraction run at a fixed core count."""
+    """Subprocess entry: one extraction run at a fixed core count. When
+    SPARK_GRAFT_BENCH_MEGA_FACTOR is set (the --mega protocol), the record
+    also carries the skew-mix facts — how many docs crossed the split
+    cutoff and what span share they carry — so the written evidence shows
+    the split subtree really ran."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+
     spark = build_spark(cores)
     try:
-        dps, n_docs, elapsed = extraction_docs_per_sec(spark, SF_DIR)
-        print(json.dumps({"cores": int(cores), "docs_per_sec": dps,
-                          "n_docs": n_docs, "elapsed": elapsed}))
+        spans, has_mega, n_docs = prepare_extraction(spark, SF_DIR)
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        elapsed = min(timed_extraction(spark, spans, has_mega) for _ in range(repeats))
+        rec = {
+            "cores": int(cores),
+            "docs_per_sec": n_docs / elapsed,
+            "n_docs": n_docs,
+            "elapsed": elapsed,
+        }
+        if os.environ.get("SPARK_GRAFT_BENCH_MEGA_FACTOR"):
+            cutoff = ExtractConfig().mega_doc_span_cutoff
+            tot, n_mega, mega_spans = spans.agg(
+                F.sum("n_spans"),
+                F.count(F.when(F.col("n_spans") > cutoff, 1)),
+                F.coalesce(
+                    F.sum(F.when(F.col("n_spans") > cutoff, F.col("n_spans"))),
+                    F.lit(0),
+                ),
+            ).first()
+            rec.update(
+                has_mega=has_mega,
+                n_spans=int(tot),
+                n_mega=int(n_mega),
+                mega_span_share=round(mega_spans / tot, 3),
+                spans_per_sec=round(tot / elapsed, 1),
+            )
+        spans.unpersist()
+        print(json.dumps(rec))
     finally:
         spark.stop()
 
@@ -283,11 +304,99 @@ def main_scaling() -> None:
     }))
 
 
+def main_mega() -> None:
+    """Mega-doc skew bench (BENCH/MEGA.md): the identical extraction job
+    with the corpus's deterministic ~1% mega subset amplified
+    (SPARK_GRAFT_BENCH_MEGA_FACTOR, default 4000× word repeat) so those
+    documents genuinely cross the 20k-span cutoff and the page-split/
+    reassemble subtree — the skew answer AQE can't give — carries the bulk
+    of the measured load. Same pinned-subprocess interleaved best-of
+    protocol as --scaling, at 2/8/32 cores, reporting docs/s AND spans/s
+    (docs/s alone under-credits a corpus where ~1% of docs carry most of
+    the spans) plus the 2→8 per-core efficiency at this mix."""
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_BENCH_MEGA_FACTOR", "4000")
+    # The job must be big enough to amortize local-mode's fixed per-run
+    # serial floor (~8s: query planning, AQE stage barriers, the final
+    # 1-task agg): the sf0.1 ×1 mix (1.36M spans) fits wall = floor + W/N
+    # with W ≈ 101 core-s almost exactly, so its 0.71 apparent 2→8
+    # efficiency is floor pollution, not the pipeline. ×4 (5.4M spans,
+    # ~130 mega docs) drops the floor to <7% of the 2-core wall; the whole
+    # protocol takes ~25 min (same order as --scaling).
+    env.setdefault("SPARK_GRAFT_BENCH_MULT", "4")
+    results: dict[str, dict] = {}
+    for _ in range(runs):
+        for cores in ("2", "8", "32"):
+            cmd = ["taskset", "-c", ",".join(map(str, range(int(cores)))),
+                   sys.executable, __file__, "--one-run", cores]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if cores not in results or r["docs_per_sec"] > results[cores]["docs_per_sec"]:
+                results[cores] = r
+    r2, r8, r32 = results["2"], results["8"], results["32"]
+    assert r32["has_mega"] and r32["n_mega"] > 0, r32  # split subtree must be live
+    eff_2_8 = r8["docs_per_sec"] / (4 * r2["docs_per_sec"])
+    eff_8_32 = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/MEGA.md", "w") as f:
+        f.write(
+            "# BENCH/MEGA — mega-doc (skew) path, measured\n\n"
+            "Same job/protocol as BENCH/BASELINE.md but with the corpus's\n"
+            "deterministic ~1% mega subset amplified "
+            f"(×{env['SPARK_GRAFT_BENCH_MEGA_FACTOR']} word repeat,\n"
+            f"{env.get('SPARK_GRAFT_SF_DIR', SF_DIR)} ×{env['SPARK_GRAFT_BENCH_MULT']} — "
+            "efficiency is a ratio at a fixed mix;\ncorpus size only sets "
+            "job length) past the 20k-span cutoff, so the page-split →\n"
+            "per-chunk extract (mega_doc_pages_per_task contiguous pages per\n"
+            "task) → reassemble subtree (SURVEY §4.2 — the skew answer AQE\n"
+            "cannot give, since one document is one task in the plain path)\n"
+            "carries the measured load: "
+            f"{r32['n_mega']} of {r32['n_docs']} docs hold\n"
+            f"{r32['mega_span_share']:.0%} of all "
+            f"{r32['n_spans']:,} spans.\n\n"
+            "| cores | docs/s | spans/s | wall (s) |\n|---|---|---|---|\n"
+            + "".join(
+                f"| {r['cores']} | {r['docs_per_sec']:.1f} | "
+                f"{r['spans_per_sec']:.0f} | {r['elapsed']:.2f} |\n"
+                for r in (r2, r8, r32)
+            )
+            + f"\n**Per-core scaling efficiency at this mix, 2 → 8: "
+            f"{eff_2_8:.3f}** (target ≥ 0.8)\n\n"
+            f"Per-core scaling efficiency, 8 → 32: {eff_8_32:.3f} (read\n"
+            "against the ~0.67 hardware ceiling in BENCH/BASELINE.md —\n"
+            "the shared host's memory subsystem, not the pipeline).\n\n"
+            "The split path's two extra Exchanges (page-salt scatter,\n"
+            "doc reassemble) are paid only by above-cutoff rows; the\n"
+            "sub-cutoff majority takes the plain zero-Exchange branch of\n"
+            "the same plan. Correctness of the split/reassemble is pinned\n"
+            "span-for-span by tests/test_pipeline.py::"
+            "test_mega_doc_split_is_exact\nand the amplified-corpus variant "
+            "test_bench_mega_corpus_crosses_cutoff.\n"
+        )
+    print(json.dumps({
+        "mega_efficiency_2_to_8": round(eff_2_8, 3),
+        "mega_efficiency_8_to_32": round(eff_8_32, 3),
+        "n2": round(r2["docs_per_sec"], 1),
+        "n8": round(r8["docs_per_sec"], 1),
+        "n32": round(r32["docs_per_sec"], 1),
+        "spans_per_sec_32": r32["spans_per_sec"],
+        "n_mega": r32["n_mega"],
+        "mega_span_share": r32["mega_span_share"],
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--one-run":
         SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR)
         one_scaling_run(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--mega":
+        main_mega()
     else:
         main_bench()

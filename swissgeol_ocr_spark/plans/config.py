@@ -21,6 +21,12 @@ class ExtractConfig:
     # Spans above this count mark a document as skewed ("mega-doc"): it is
     # split page-wise before the kernel and reassembled after (SURVEY §4.2).
     mega_doc_span_cutoff: int = 20_000
+    # Pages per split task for mega docs. One page per task maximizes
+    # balance but pays the kernel's per-invocation Python overhead ~40-span
+    # page by ~40-span page (measured ~6ms/invocation — it dominated the
+    # split leg at 8×); grouping a run of pages amortizes it while a
+    # cutoff-size doc still fans out into ≥ cutoff/(40·K) ≈ 60 tasks.
+    mega_doc_pages_per_task: int = 8
     # Guard replacing the reference's 10MB page-payload limit
     # (applyocr.py:34-49): pages with more candidate lines than this are
     # skipped (emit base layer only), keeping a 10^12-doc job alive. The

@@ -430,8 +430,18 @@ def extract_pipeline(
 
     pt_out = None
     if use_jvm_passthrough and not config.use_aggressive_strategy:
-        pt_out = jvm_passthrough(sized.filter(~media_pred).drop("_n", *hint_cols))
-        sized = sized.filter(media_pred)
+        pt_pred = ~media_pred
+        if has_mega is not False:
+            # An above-cutoff born-digital doc must NOT take the passthrough:
+            # its whole-array JVM sort is one task per doc (the exact skew
+            # the split exists to break) and the keyed-struct copies of a
+            # 50k-span array are a GC storm (measured: 38% of executor time
+            # in GC with mega docs in the passthrough). Route it to the
+            # kernel branch, where the page split applies; passthrough ==
+            # kernel-path and split == plain are both pinned bit-identical.
+            pt_pred = pt_pred & (F.col("_n") <= config.mega_doc_span_cutoff)
+        pt_out = jvm_passthrough(sized.filter(pt_pred).drop("_n", *hint_cols))
+        sized = sized.filter(~pt_pred)
 
     def with_pt(out: DataFrame) -> DataFrame:
         return out if pt_out is None else pt_out.unionByName(out)
@@ -444,10 +454,14 @@ def extract_pipeline(
 
     small_out = run_kernel(small)
 
-    # --- mega-doc salting: split page-wise, extract, reassemble -----------
-    # posexplode keeps each span's original array position: the per-page
-    # re-sort orders by (offset, position), exactly the unsplit kernel's
-    # stable argsort on offset — bit-identical even with duplicate offsets
+    # --- mega-doc salting: split into page-range chunks, extract, reassemble
+    # posexplode keeps each span's original array position: the re-sort
+    # orders by (page, offset, position) — exactly the unsplit kernel's
+    # stable lexsort — bit-identical even with duplicate offsets. Chunks of
+    # ``mega_doc_pages_per_task`` contiguous pages (not single pages)
+    # amortize the kernel's per-invocation Python overhead while a
+    # cutoff-size doc still fans out into dozens of tasks.
+    chunk_pages = max(1, config.mega_doc_pages_per_task)
     exploded = big.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
     ).select(
@@ -455,19 +469,22 @@ def extract_pipeline(
         # null page_no → 0, the salvage rule every other route applies (a
         # null here would make the split key `doc_id#NULL` itself NULL,
         # merging spans from different mega-docs into one lost NULL-id row)
-        F.coalesce(F.col("span.page_no"), F.lit(0)).alias("page_no"),
+        F.floor(
+            F.coalesce(F.col("span.page_no"), F.lit(0)) / F.lit(chunk_pages)
+        ).alias("chunk"),
         "pos",
         "span",
     )
     page_docs = (
-        exploded.repartition(n_part, "doc_id", "page_no")
-        .groupBy("doc_id", "page_no")
+        exploded.repartition(n_part, "doc_id", "chunk")
+        .groupBy("doc_id", "chunk")
         .agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        # null offset → 0 (salvage rule), matching the
-                        # kernel/passthrough ordering for null offsets
+                        # null page/offset → 0 (salvage rule), matching the
+                        # kernel/passthrough ordering for null fields
+                        F.coalesce(F.col("span.page_no"), F.lit(0)).alias("pg"),
                         F.coalesce(F.col("span.offset"), F.lit(0)).alias("o"),
                         F.col("pos").alias("p"),
                         F.col("span").alias("s"),
@@ -476,7 +493,7 @@ def extract_pipeline(
             ).alias("ordered")
         )
         .select(
-            F.concat(F.col("doc_id"), F.lit("#"), F.col("page_no").cast("string")).alias("doc_id"),
+            F.concat(F.col("doc_id"), F.lit("#"), F.col("chunk").cast("string")).alias("doc_id"),
             F.transform("ordered", lambda x: x["s"]).alias("spans"),
         )
     )
@@ -492,12 +509,18 @@ def extract_pipeline(
             "orig_doc_id",
             F.expr("substring(doc_id, 1, length(doc_id) - length(substring_index(doc_id, '#', -1)) - 1)"),
         )
-        .withColumn("page_no", page_seg.cast("int"))
+        .withColumn("chunk", page_seg.cast("int"))
         .groupBy("orig_doc_id")
         .agg(
             F.sort_array(
                 F.collect_list(
-                    F.struct("page_no", "spans_out", "n_spans_in", "n_spans_out", "status")
+                    # chunk is unique per group and sorts first, so the
+                    # lexicographic struct sort never compares later fields;
+                    # chunk ids are contiguous page ranges → page order kept
+                    F.struct(
+                        "chunk", "n_pages", "spans_out",
+                        "n_spans_in", "n_spans_out", "status",
+                    )
                 )
             ).alias("pages"),
             F.min("partition_id").alias("partition_id"),
@@ -506,7 +529,9 @@ def extract_pipeline(
             F.col("orig_doc_id").alias("doc_id"),
             F.flatten(F.transform("pages", lambda p: p["spans_out"])).alias("flat"),
             F.aggregate("pages", F.lit(0), lambda a, p: a + p["n_spans_in"]).alias("n_spans_in"),
-            F.size("pages").cast("int").alias("n_pages"),
+            # chunks partition a doc's pages disjointly, so summing each
+            # chunk-kernel's unique-page count gives the doc's page count
+            F.aggregate("pages", F.lit(0), lambda a, p: a + p["n_pages"]).cast("int").alias("n_pages"),
             F.filter("pages", lambda p: p["status"].startswith("error")).alias("_errs"),
             F.filter("pages", lambda p: p["status"] == "salvaged").alias("_salv"),
             "partition_id",

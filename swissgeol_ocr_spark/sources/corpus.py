@@ -72,8 +72,16 @@ def replicate_documents(docs: DataFrame, factor: int) -> DataFrame:
     )
 
 
-def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
-    """documents(doc_id, text) → (doc_id string, spans) deterministic."""
+def documents_to_spans(
+    docs: DataFrame, mega_docs: bool = True, mega_factor: int | None = None
+) -> DataFrame:
+    """documents(doc_id, text) → (doc_id string, spans) deterministic.
+
+    ``mega_factor`` overrides the word-repeat factor for the deterministic
+    mega subset (default MEGA_FACTOR=40, which stays far below the 20k-span
+    split cutoff — real mega docs are rare). The bench's ``--mega`` mode
+    passes ~4000 so the subset genuinely crosses the cutoff and the
+    page-split/reassemble subtree carries measured load, not just tests."""
     d = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.col("text"), " ").alias("words"),
@@ -83,7 +91,7 @@ def documents_to_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
             "words",
             F.when(
                 F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":m"))), F.lit(MEGA_MOD)) == 0,
-                F.flatten(F.array_repeat(F.col("words"), MEGA_FACTOR)),
+                F.flatten(F.array_repeat(F.col("words"), mega_factor or MEGA_FACTOR)),
             ).otherwise(F.col("words")),
         )
     d = d.withColumn(

@@ -95,6 +95,40 @@ def test_mega_doc_split_is_exact(spans_df):
     assert split_out == plain_out
 
 
+def test_bench_mega_corpus_crosses_cutoff(spark, sf_dir):
+    """The --mega bench's amplified corpus must (a) push the deterministic
+    mega subset past the DEFAULT 20k-span cutoff — no cutoff lowering, the
+    production split predicate decides — and (b) produce split-path output
+    bit-identical to the unsplit kernel on those genuinely huge docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    spans = documents_to_spans(docs, mega_factor=4000).cache()
+    cutoff = ExtractConfig().mega_doc_span_cutoff
+    big = spans.filter(F.col("n_spans") > cutoff)
+    n_big = big.count()
+    assert n_big > 0, "amplified corpus produced no above-cutoff docs"
+    # split equivalence at the REAL cutoff on the heavy docs plus a slice
+    # of normal ones (both branches of the same plan live)
+    subset = big.unionByName(
+        spans.filter(F.col("n_spans") <= cutoff).limit(10)
+    )
+    split_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(
+            subset, use_jvm_passthrough=False, has_mega=True
+        ).collect()
+    }
+    plain_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(
+            subset,
+            ExtractConfig(mega_doc_span_cutoff=10**9),
+            use_jvm_passthrough=False,
+        ).collect()
+    }
+    assert split_out == plain_out
+    spans.unpersist()
+
+
 def test_jvm_passthrough_matches_kernel_path(spans_df):
     """The JVM-side born-digital passthrough must be bit-identical to the
     Arrow kernel's fast path (operators/extract.py:90-95) — same spans, same
