@@ -1790,6 +1790,84 @@ FROM documents
 """
 
 
+# thresholds for the composite curation decision — chosen so both keep and
+# drop are nonzero at every driver scale factor (an all-true or all-false
+# decision column would be a trivially-satisfiable oracle)
+CURATION_MIN_QUALITY = 0.55
+CURATION_MIN_TOKENS = 20
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation decision — what an LLM-corpus
+    job actually materializes before tokenization: one row per document
+    with the signals (language, quality, token count, near-dup
+    canonicality) and the final ``keep`` verdict.
+
+    keep = canonical (not the larger member of any MinHash-LSH candidate
+    pair — keep-first semantics matching dedup_exact/dedup_clusters) AND
+    quality ≥ CURATION_MIN_QUALITY AND ws_tokens ≥ CURATION_MIN_TOKENS.
+
+    Scale shape: the signal columns are one linear codegen'd scan; the
+    dup-id relation reuses the banded LSH equi-join (never all-pairs) and
+    lands back on the corpus as a left join keyed by doc_id — one shuffle
+    each side, NOT broadcast by hint because at web scale the dup set is a
+    large fraction of the corpus. All signals compute in the SAME scan —
+    composing the per-signal queries would re-read the corpus four times."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    counts = textops.token_counts(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        textops.predicted_lang(F.col("text")).alias("pred_lang"),
+        textops.quality_score(F.col("text")).alias("quality"),
+        counts["ws_tokens"].alias("ws_tokens"),
+    )
+    cur = feats.join(dups, "doc_id", "left")
+    is_canonical = F.col("_dup").isNull()
+    return cur.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        "ws_tokens",
+        is_canonical.alias("is_canonical"),
+        (
+            is_canonical
+            & (F.col("quality") >= F.lit(CURATION_MIN_QUALITY))
+            & (F.col("ws_tokens") >= F.lit(CURATION_MIN_TOKENS))
+        ).alias("keep"),
+    )
+
+
+SQL_CURATION = f"""
+WITH dups AS (
+  SELECT DISTINCT b_id AS doc_id FROM ({SQL_MINHASH.strip()}) p
+), lang AS (
+  {SQL_LANGID.strip()}
+), qual AS (
+  {SQL_QUALITY.strip()}
+), tok AS (
+  {SQL_TOKEN_COUNT.strip()}
+)
+SELECT d.doc_id,
+       lang.pred_lang,
+       qual.quality,
+       tok.ws_tokens,
+       dups.doc_id IS NULL AS is_canonical,
+       (dups.doc_id IS NULL AND qual.quality >= {CURATION_MIN_QUALITY}
+        AND tok.ws_tokens >= {CURATION_MIN_TOKENS}) AS keep
+FROM documents d
+JOIN lang USING (doc_id)
+JOIN qual USING (doc_id)
+JOIN tok USING (doc_id)
+LEFT JOIN dups ON d.doc_id = dups.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipeline queries (kernel-backed → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -1828,7 +1906,7 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_spans(docs)
-    out = extract_pipeline(spans, has_mega=_mega_hint(spans))
+    out = extract_pipeline(spans, has_mega=_mega_hint(spans, key=(sf_dir, "spans")))
     return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages")
 
 
@@ -1844,7 +1922,8 @@ def q_extract_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_spans(docs)
     out = extract_pipeline(
-        spans, ExtractConfig(use_aggressive_strategy=True), has_mega=_mega_hint(spans)
+        spans, ExtractConfig(use_aggressive_strategy=True),
+        has_mega=_mega_hint(spans, key=(sf_dir, "spans"))
     )
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
@@ -1869,7 +1948,8 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_word_spans(docs)
     out = extract_pipeline(
-        spans, ExtractConfig(build_lines_from_words=True), has_mega=_mega_hint(spans)
+        spans, ExtractConfig(build_lines_from_words=True),
+        has_mega=_mega_hint(spans, key=(sf_dir, "words"))
     )
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
@@ -1895,7 +1975,7 @@ def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_spans(docs)
-    out = extract_pipeline(spans, has_mega=_mega_hint(spans))
+    out = extract_pipeline(spans, has_mega=_mega_hint(spans, key=(sf_dir, "spans")))
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
@@ -1905,14 +1985,30 @@ def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mega_hint(spans_df: DataFrame, cutoff: int = 20_000) -> bool:
+_MEGA_HINT_CACHE: dict[tuple, bool] = {}
+
+
+def _mega_hint(
+    spans_df: DataFrame, cutoff: int = 20_000, key: tuple | None = None
+) -> bool:
     """Table-stats lookup for extract_pipeline's ``has_mega`` hint: on an
     Iceberg table this is a free column-max read; here it is one cheap agg
     over the materialized ``n_spans`` hint column (never the spans structs).
     Passing the result drops (False) or keeps (True) the page-split salting
-    subtree instead of building both branches."""
+    subtree instead of building both branches.
+
+    ``key`` memoizes the answer per (source, granularity) so repeated
+    registry calls don't re-run the stats job — the local stand-in for an
+    Iceberg metadata read, which is per-snapshot cached by nature. The
+    driver testdata is immutable, so the cache never goes stale here;
+    mutable deployments should key on the snapshot id."""
+    if key is not None and key in _MEGA_HINT_CACHE:
+        return _MEGA_HINT_CACHE[key]
     row = spans_df.agg(F.max("n_spans")).first()
-    return bool(row[0] is not None and row[0] > cutoff)
+    val = bool(row[0] is not None and row[0] > cutoff)
+    if key is not None:
+        _MEGA_HINT_CACHE[key] = val
+    return val
 
 
 def _golden_path(name: str) -> str:
@@ -2062,6 +2158,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "corpus_curation": (q_corpus_curation, SQL_CURATION),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),
