@@ -196,6 +196,57 @@ def test_mega_doc_id_with_hash_char(spark):
     assert out["a#c"] == [("text", "y1"), ("text", "y2")]
 
 
+def test_mega_split_adversarial_pages(spark):
+    """Chunked page-split equivalence on adversarial page/offset shapes:
+    negative and null page_no (both land in chunk ≤ 0 via the null→0
+    salvage), null offsets, duplicate (page, offset) keys whose tie-break
+    is the original array position, page gaps, reversed page order in the
+    input array, and pages straddling the mega_doc_pages_per_task chunk
+    boundary. Split (cutoff=1, chunking live) must be bit-identical to the
+    unsplit kernel on every doc."""
+    import random
+
+    from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
+
+    def span(page, off, text, kind="text"):
+        return (kind, text, "", off, page, 10.0, 10.0, 100.0, 20.0, 1.0, 0.0)
+
+    rnd = random.Random(7)
+    rows = []
+    # doc with pages -3..20 in shuffled array order, duplicate offsets
+    spans = [span(p, off, f"p{p}o{off}")
+             for p in range(-3, 21) for off in (0, 1, 1)]
+    rnd.shuffle(spans)
+    rows.append(("adv-neg", spans))
+    # doc with null page_no / null offset mixed in (salvage → 0)
+    rows.append(("adv-null", [
+        span(None, 5, "nullpage"), span(0, None, "nulloff"),
+        span(0, 5, "dup-a"), span(0, 5, "dup-b"), span(17, 2, "late"),
+    ]))
+    # doc whose pages sit exactly on chunk boundaries (7, 8, 9, 15, 16)
+    rows.append(("adv-boundary", [
+        span(p, o, f"b{p}.{o}") for p in (7, 8, 9, 15, 16) for o in (1, 0)
+    ]))
+    # media-bearing doc with sparse pages (exercises the per-page kernel leg)
+    rows.append(("adv-media", [
+        span(0, 0, "", kind="media"), span(0, 1, "t1"),
+        span(40, 0, "", kind="media"), span(40, 1, "t2"),
+    ]))
+    df = spark.createDataFrame(rows, f"doc_id string, spans {spans_schema_ddl()}")
+
+    def collect(cfg):
+        return {
+            r.doc_id: ([(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out],
+                       r.n_spans_in, r.n_spans_out, r.n_pages, r.status)
+            for r in extract_pipeline(df, cfg, use_jvm_passthrough=False).collect()
+        }
+
+    split_out = collect(ExtractConfig(mega_doc_span_cutoff=1))
+    plain_out = collect(ExtractConfig(mega_doc_span_cutoff=10**9))
+    assert split_out == plain_out
+    assert set(split_out) == {"adv-neg", "adv-null", "adv-boundary", "adv-media"}
+
+
 def test_downscale_exact_power_boundary(spark):
     """n_bytes exactly 10MB / 40MB: the reference loop downsizes once more
     (strict `size < ten_mb` break, applyocr.py:38)."""
