@@ -370,6 +370,21 @@ def main_mega() -> None:
             f"Per-core scaling efficiency, 8 → 32: {eff_8_32:.3f} (read\n"
             "against the ~0.67 hardware ceiling in BENCH/BASELINE.md —\n"
             "the shared host's memory subsystem, not the pipeline).\n\n"
+            "## Shuffle-bandwidth control (JVM only, no Python kernel)\n\n"
+            "scripts/shuffle_control.py times ONLY the split subplan's data\n"
+            "motion (explode → repartition(doc_id, chunk) → page-group agg)\n"
+            "on the same amplified corpus. ONE-TIME measurement (2026-08-17,\n"
+            "this 32-core shared cloud host; interleaved best-of, pinned):\n\n"
+            "| cores | JVM spans/s | per-core eff vs 2 |\n|---|---|---|\n"
+            "| 2 | 858k | 1.00 |\n| 8 | 1.11M | 0.32 |\n| 32 | 1.73M | 0.13 |\n\n"
+            "Two readings: (a) the pure-JVM shuffle saturates this host's\n"
+            "memory bus almost immediately — per-core efficiency collapses\n"
+            "with NO Python involved, so the 8→32 falloff above mirrors the\n"
+            "box, not the pipeline (a real cluster adds memory channels and\n"
+            "NICs with every node); (b) absolute shuffle capacity\n"
+            "(~1.7M spans/s) stays >15× above what the full split leg\n"
+            "consumes — the split's wall time is Python-kernel compute,\n"
+            "which scales per the kernel-only control in BENCH/BASELINE.md.\n\n"
             "The split path's two extra Exchanges (page-salt scatter,\n"
             "doc reassemble) are paid only by above-cutoff rows; the\n"
             "sub-cutoff majority takes the plain zero-Exchange branch of\n"
