@@ -163,6 +163,50 @@ class TestStreaming:
         assert spark.read.parquet(out_dir).count() == len(batch_out)
 
 
+def test_streaming_dedup_exact(spark, sf_dir, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on md5(text))
+    must emit exactly one row per distinct fingerprint across micro-batch
+    files, each kept doc_id belonging to that fingerprint's group —
+    keep-first semantics over a feed with duplicates injected both inside
+    one file and across files."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.streaming.pipeline import dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30).cache()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # file 1: originals + an in-file duplicate of each (doc_id suffixed)
+    dup1 = docs.select(F.concat(F.col("doc_id").cast("string"), F.lit("-d1")).alias("doc_id"), "text")
+    docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text") \
+        .unionByName(dup1).repartition(1).write.parquet(in_dir)
+    # file 2: a second wave of duplicates arriving in a later micro-batch
+    docs.select(F.concat(F.col("doc_id").cast("string"), F.lit("-d2")).alias("doc_id"), "text") \
+        .repartition(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id string, text string").parquet(in_dir)
+    q = (
+        dedup_stream(stream).writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    expected_fps = {r.fp for r in docs.select(F.md5("text").alias("fp")).distinct().collect()}
+    got = out.collect()
+    assert {r.fp for r in got} == expected_fps
+    assert len(got) == len(expected_fps)  # one survivor per fingerprint
+    # every kept doc_id really carries its fingerprint's text
+    fp_of = {r.doc_id: r.fp for r in got}
+    all_rows = {r.doc_id: r.fp for r in spark.read.parquet(in_dir)
+                .select("doc_id", F.md5("text").alias("fp")).collect()}
+    for doc_id, fp in fp_of.items():
+        assert all_rows[doc_id] == fp
+    docs.unpersist()
+
+
 def test_streaming_metrics_windowed(spark, sf_dir, tmp_path):
     """The windowed metrics stream (the /collect polling surface) totals
     must equal the batch counts."""
