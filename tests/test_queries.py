@@ -305,7 +305,7 @@ SF0001_SPOT = [
     "c5_confidence_filter", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "ivf_ann_trained",
     "lsh_ann", "media_features", "media_downscale", "quality_score",
-    "event_windows", "p7_downscale_budget",
+    "event_windows", "p7_downscale_budget", "corpus_curation",
 ]
 
 
