@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Print formatted physical plans for the round-3 queries (PLANS.md
-evidence): media_features, dedup_simhash_pairs (wide), lsh_ann
-(multi-probe), ivf_ann_trained.
+"""Print formatted physical plans for the PLANS.md evidence queries:
+media_features, dedup_simhash_pairs (wide), lsh_ann (multi-table
+multi-probe), ivf_ann_trained, dedup_band_stats, corpus_curation.
 
 dedup_clusters is deliberately NOT here: its star-CC loop localCheckpoints
 every round, so even constructing the final plan executes jobs — its scale
@@ -32,7 +32,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
-    for name in ("media_features", "dedup_simhash_pairs", "lsh_ann", "ivf_ann_trained"):
+    for name in ("media_features", "dedup_simhash_pairs", "lsh_ann",
+                 "ivf_ann_trained", "dedup_band_stats", "corpus_curation"):
         fn, _ = QUERIES[name]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         fn(spark, SF_DIR).explain("formatted")
