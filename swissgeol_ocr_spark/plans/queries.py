@@ -1868,6 +1868,63 @@ LEFT JOIN dups ON d.doc_id = dups.doc_id
 """
 
 
+# per-language sampling rates (basis points of 10000) — deterministic
+# stratified downsampling, the standard rebalancing step between curation
+# and tokenization in an LLM corpus pipeline
+SAMPLE_RATES_BP = {"en": 8000, "de": 5000, "fr": 2500, "es": 1000}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: per-language keep rates
+    (over the declared ``lang`` metadata column — en 80%, de 50%, fr 25%,
+    es 10%, anything else 0%) applied via an md5-prefix hash of doc_id,
+    NOT rand(): the inclusion decision is a pure function of the row, so
+    the sample is reproducible across engines, retries, partitionings and
+    reruns, and composable with resume (a re-executed task keeps exactly
+    the same rows).
+
+    Scale shape: one linear codegen'd scan, zero shuffles; the rate lookup
+    is a constant-folded CASE on the stratum. Hash arithmetic is the
+    engine-portable md5-prefix pattern (conv(substr(md5,1,8),16,10) ==
+    DuckDB CAST('0x'||substr AS BIGINT)) used throughout the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(10000),
+    )
+    rate = None
+    for lang_key, bp in SAMPLE_RATES_BP.items():
+        clause = F.when(F.col("lang") == lang_key, F.lit(bp))
+        rate = clause if rate is None else rate.when(F.col("lang") == lang_key, F.lit(bp))
+    rate = rate.otherwise(F.lit(0))
+    d = docs.select("doc_id", "lang", u.alias("u"))
+    return d.filter(F.col("u") < rate).select("doc_id", "lang", "u")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8)
+              AS BIGINT) % 10000 AS u
+  FROM documents
+)
+SELECT doc_id, lang, u
+FROM hashed
+WHERE u < CASE lang
+            WHEN 'en' THEN {SAMPLE_RATES_BP['en']}
+            WHEN 'de' THEN {SAMPLE_RATES_BP['de']}
+            WHEN 'fr' THEN {SAMPLE_RATES_BP['fr']}
+            WHEN 'es' THEN {SAMPLE_RATES_BP['es']}
+            ELSE 0 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipeline queries (kernel-backed → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -2159,6 +2216,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "corpus_curation": (q_corpus_curation, SQL_CURATION),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),

@@ -306,6 +306,7 @@ SF0001_SPOT = [
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "ivf_ann_trained",
     "lsh_ann", "media_features", "media_downscale", "quality_score",
     "event_windows", "p7_downscale_budget", "corpus_curation",
+    "stratified_sample",
 ]
 
 
