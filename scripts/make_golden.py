@@ -180,7 +180,20 @@ def make_dedup_clusters() -> None:
         f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
     )
     ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
-    pairs = con.sql(SQL_MINHASH).fetchall()
+    # representative-level near-dup pairs (a_id, b_id, a_dups, b_dups) plus
+    # the LINEAR exact-duplicate membership edges (keeper → member) —
+    # mirrors q_dedup_clusters' round-5 edge set: exact clusters collapse
+    # before banding, so their members re-enter via k−1 edges, never k²
+    pairs = [(a, b) for a, b, *_ in con.sql(SQL_MINHASH).fetchall()]
+    pairs += con.sql(
+        """
+        SELECT k.keep_id, d.doc_id
+        FROM documents d
+        JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+              FROM documents GROUP BY md5(text)) k
+          ON md5(d.text) = k.fp AND d.doc_id > k.keep_id
+        """
+    ).fetchall()
 
     parent = {i: i for i in ids}
 

@@ -327,6 +327,9 @@ def lsh_ann(
     BroadcastHashJoin against the bucket-partitioned corpus, and the
     cross-table dedup is one partial-agg shuffle over candidates only,
     never the corpus)."""
+    # misconfiguration fails loudly at plan time, not as an AttributeError
+    # on the None accumulator below (round-4 advice)
+    assert n_tables >= 1, f"lsh_ann needs at least one hash table, got {n_tables}"
     wb = embeddings
     for t in range(n_tables):
         wb = wb.withColumn(

@@ -79,6 +79,88 @@ def normalized_fingerprint(text: Column) -> Column:
     return F.md5(F.trim(norm))
 
 
+def exact_collapse(docs: DataFrame) -> DataFrame:
+    """Collapse byte-identical documents to ONE representative before any
+    banded near-dup work: (doc_id, text, n_dups) with doc_id = the smallest
+    member id (the same keep-first rule as ``dedup_exact``), text = the
+    shared body, n_dups = cluster multiplicity.
+
+    THE hot-duplicate actuator (round-4 verdict's one named scale-killer):
+    web boilerplate duplicated k ≈ 10⁶ times shares every band key, so
+    banding members puts k rows in one bucket and the band-key self-join
+    mints k² candidate rows inside that bucket no matter how many buckets
+    exist. Collapsing first costs one partial-agged groupBy on a 32-byte
+    md5 key (text travels once per distinct fingerprint per map partition)
+    and makes the cluster cost O(1) banded rows; membership re-expansion —
+    where it is wanted at all (clustering, curation) — is a LINEAR join
+    against the (fp → keeper) relation, never a pair product. ``min(text)``
+    is exact, not a tie-break: every row in an md5 group carries the
+    identical body, so any element is THE text."""
+    return (
+        docs.groupBy(F.md5("text").alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count("*").alias("n_dups"),
+        )
+        .select("doc_id", "text", "n_dups")
+    )
+
+
+# DuckDB twin of exact_collapse, reused by every generated oracle
+SQL_EXACT_COLLAPSE = (
+    "SELECT min(doc_id) AS doc_id, min(text) AS text, "
+    "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
+)
+
+
+def cap_band_buckets(
+    banded: DataFrame, cap: int, key_col: str = "band_key"
+) -> DataFrame:
+    """Route over-populated band buckets OUT of the pair join (the Jaccard
+    hot-shingle cap generalized to every banded family): buckets whose
+    representative population exceeds ``cap`` are dropped before the
+    self-join, bounding any bucket's candidate contribution at cap².
+
+    Exact duplicates never trip this (``exact_collapse`` runs first); what
+    does is a *near*-identical mega-cluster — >cap distinct texts agreeing
+    on a band value. A true near-dup pair is lost only if EVERY band it
+    shares is over-cap; ``band_population_stats(..., cap=...)`` counts the
+    routed buckets per band so the drop is visible, never silent. Cost: one
+    partial-agged groupBy + a semi-join, both on the compact band key."""
+    admitted = (
+        banded.groupBy(key_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .select(key_col)
+    )
+    return banded.join(admitted, key_col, "left_semi")
+
+
+def minhash_band_relation(reps: DataFrame) -> DataFrame:
+    """(doc_id, n_dups, band_key) — the banded MinHash-LSH relation over an
+    ``exact_collapse``d (doc_id, text, n_dups) representative set: word-3-
+    gram shingles → one md5 per shingle → 8-slice signature → 4 bands × 2
+    rows. Each stage materializes its array column first (HOF lambdas do no
+    common-subexpression elimination — see ``md5_digests``). Shared by the
+    batch pair query and the incremental streaming leg so both sides band
+    identically."""
+    w = reps.select("doc_id", "n_dups", F.split("text", " ").alias("w"))
+    sh = w.select("doc_id", "n_dups", shingles_of_words(F.col("w")).alias("sh"))
+    dg = sh.select("doc_id", "n_dups", md5_digests(F.col("sh")).alias("dg"))
+    sig = dg.select(
+        "doc_id", "n_dups", minhash_signature(F.col("dg")).alias("sig")
+    )
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size()>0 filter whose pushdown inlines the full signature expression
+    # per band (the array is non-empty by construction)
+    return sig.select(
+        "doc_id",
+        "n_dups",
+        F.explode_outer(lsh_band_keys(F.col("sig"))).alias("band_key"),
+    )
+
+
 def md5_digests(string_array: Column) -> Column:
     """One md5 per array element. MATERIALIZE this as a real column before
     feeding it to the signature builders — Catalyst does not eliminate
@@ -309,7 +391,7 @@ def simhash_band_keys_from_halves(
 
 
 def band_population_stats(
-    banded: DataFrame, family: str, key_col: str = "bk"
+    banded: DataFrame, family: str, key_col: str = "bk", cap: int | None = None
 ) -> DataFrame:
     """Bucket-population skew metrics for a banded dedup relation — the
     'no silent caps' guard: the MAX bucket population is exactly the
@@ -319,9 +401,22 @@ def band_population_stats(
 
     Input: one row per (doc, band key), keys shaped 'band:value...'
     (every banded family here uses that shape). Output: one row per band
-    with (family, band, n_buckets, max_bucket, n_rows). Two partial-agg
-    shuffles, both on compact keys; never materializes pairs."""
+    with (family, band, n_buckets, max_bucket, n_rows) plus — when ``cap``
+    is given — ``n_over_cap``, the count of buckets whose population
+    exceeds the ``cap_band_buckets`` routing cap: exactly the buckets the
+    pair join drops, so the cap's recall cost is a metrics row, never a
+    silent truncation. Two partial-agg shuffles, both on compact keys;
+    never materializes pairs."""
     per_key = banded.groupBy(key_col).agg(F.count("*").alias("n"))
+    aggs = [
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum("n").alias("n_rows"),
+    ]
+    if cap is not None:
+        aggs.append(
+            F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias("n_over_cap")
+        )
     return (
         per_key.select(
             F.lit(family).alias("family"),
@@ -329,11 +424,7 @@ def band_population_stats(
             F.col("n"),
         )
         .groupBy("family", "band")
-        .agg(
-            F.count("*").alias("n_buckets"),
-            F.max("n").alias("max_bucket"),
-            F.sum("n").alias("n_rows"),
-        )
+        .agg(*aggs)
     )
 
 

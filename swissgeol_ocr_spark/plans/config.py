@@ -74,6 +74,18 @@ class DedupConfig:
 
     simhash_bands: int = 8
     simhash_band_bits: int = 16
+    # Hot-bucket actuator (round-5): the banded families collapse exact
+    # duplicates to one representative BEFORE banding (a k-wide
+    # byte-identical cluster — ubiquitous web boilerplate — costs O(1)
+    # banded rows instead of O(k), so its candidate pairs are O(1) instead
+    # of O(k²)), and any band bucket whose REPRESENTATIVE population still
+    # exceeds this cap is routed out of the pair join (same shape as the
+    # Jaccard hot-shingle cap). A pair is lost only if EVERY band it shares
+    # is over-cap — with 8 independent bands that is precisely the
+    # pathological near-identical mega-cluster whose k² candidates would
+    # kill the stage; `dedup_band_stats.n_over_cap` counts the routed
+    # buckets so the drop is never silent.
+    band_bucket_cap: int = 200
 
     @property
     def simhash_bits(self) -> int:

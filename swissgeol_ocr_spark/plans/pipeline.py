@@ -657,7 +657,11 @@ def iceberg_catalog(spark) -> str | None:
             spark._jvm.java.lang.Class.forName(val)
             return name
         except Exception:
-            return None
+            # keep probing: one stale catalog entry (configured without its
+            # jar) must not mask a live one later in dict order — giving up
+            # here would silently demote backend='auto' to parquet and make
+            # an explicit 'iceberg' request raise despite a usable catalog
+            continue
     return None
 
 

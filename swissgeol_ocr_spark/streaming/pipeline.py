@@ -373,6 +373,110 @@ def dedup_stream(docs_stream: DataFrame, watermark: str = "10 minutes") -> DataF
     )
 
 
+def minhash_neardup_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    cap: int | None = None,
+):
+    """Incremental banded near-dup — the last operator family that had no
+    streaming story (round-4 verdict #3): ``dedup_minhash_lsh`` as a
+    continuous operator over a (doc_id, text) document feed.
+
+    ``foreachBatch`` against the committed band index, per micro-batch:
+
+    1. collapse the batch's exact duplicates (keeper = min doc_id within
+       the batch — the causal stand-in for the batch keep-first rule);
+    2. drop documents whose text fingerprint is already indexed (exact
+       duplicates of an indexed representative — the streaming face of
+       ``textops.exact_collapse``, so a k-wide boilerplate cluster costs
+       one index row total across the whole stream, never k banded rows);
+    3. band the genuinely-new representatives
+       (``textops.minhash_band_relation`` — the SAME banding as batch) and
+       join them against accumulated ∪ new band rows to emit each
+       candidate pair exactly once: a pair surfaces in the batch where its
+       LATER member arrives, so no cross-batch dedup state is needed;
+    4. cap: band keys whose CUMULATIVE representative population exceeds
+       ``cap`` are routed out (prefix-greedy twin of
+       ``textops.cap_band_buckets`` — pairs admitted before a bucket went
+       hot stay emitted; batch re-runs decide from the full population);
+    5. append the new representatives' band rows to the index.
+
+    Output rows are (a_id, b_id) with a_id < b_id; multiplicities are the
+    exact-dedup stream's concern (``dedup_stream``). Equality with the
+    batch pair set (given id-ordered arrival and under-cap buckets) is
+    pinned by tests/test_streaming_multimodal.py.
+
+    Scale shape: everything shuffles on the compact band key; the index
+    grows one row per (distinct text × 4 bands) — the same relation the
+    batch job banded, accumulated incrementally — and each batch's work is
+    O(batch bands + touched buckets), independent of stream history
+    length except through genuinely-colliding buckets."""
+    from swissgeol_ocr_spark.functions import textops
+    from swissgeol_ocr_spark.plans.config import DedupConfig
+
+    cap_v = cap if cap is not None else DedupConfig().band_bucket_cap
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        reps = textops.exact_collapse(
+            batch_df.select("doc_id", "text")
+        ).withColumn("fp", F.md5("text"))
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:  # first batch — no index committed yet
+            idx = None
+        if idx is not None:
+            new_reps = reps.join(idx.select("fp").distinct(), "fp", "left_anti")
+        else:
+            new_reps = reps
+        new_reps = new_reps.localCheckpoint(eager=True)  # read idx BEFORE appending
+        banded_new = textops.minhash_band_relation(new_reps).join(
+            new_reps.select("doc_id", "fp"), "doc_id"
+        )
+        old_banded = (
+            idx.select("doc_id", "band_key")
+            if idx is not None
+            else banded_new.select("doc_id", "band_key").limit(0)
+        )
+        all_banded = old_banded.unionByName(
+            banded_new.select("doc_id", "band_key")
+        )
+        admitted = (
+            all_banded.groupBy("band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= cap_v)
+            .select("band_key")
+        )
+        newk = banded_new.join(admitted, "band_key", "left_semi")
+        allk = all_banded.join(admitted, "band_key", "left_semi")
+        pairs = (
+            newk.alias("a")
+            .join(
+                allk.alias("b"),
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+            )
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        banded_new.select("doc_id", "fp", "band_key").write.mode("append").parquet(
+            index_path
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     in_path: str,

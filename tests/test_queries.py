@@ -306,7 +306,7 @@ SF0001_SPOT = [
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "ivf_ann_trained",
     "lsh_ann", "media_features", "media_downscale", "quality_score",
     "event_windows", "p7_downscale_budget", "corpus_curation",
-    "stratified_sample",
+    "stratified_sample", "dedup_band_stats",
 ]
 
 
@@ -357,3 +357,130 @@ def test_band_stats_adversarial_skew(spark):
         assert r.max_bucket >= n // 2      # the hot bucket is visible
         assert r.n_buckets > 1             # and it is not the whole corpus
         assert r.n_rows == n
+
+
+def _write_documents(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_hot_duplicate_cluster_linear(spark, tmp_path):
+    """The round-4 verdict's named scale-killer, pinned fixed: 1,000
+    byte-identical copies of one document (web boilerplate) must cost O(1)
+    banded rows — NOT 1,000 rows in one bucket minting ~500k in-bucket
+    candidate pairs. The collapse keeps recall: the cluster still pairs
+    with its genuine near-duplicate exactly once, carrying multiplicity."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.functions import textops
+    from swissgeol_ocr_spark.plans.queries import (
+        q_dedup_minhash_lsh,
+        q_dedup_simhash_pairs,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, body, "en", "s1") for i in range(1000)]           # k-wide clone block
+    rows += [(2000, body.replace("dog", "cat"), "en", "s1")]      # its near-dup
+    rows += [(3000 + i, f"unrelated text u{i} v{i*3} w{i*7} x{i*11} y{i*13}",
+              "en", "s1") for i in range(3)]
+    sf = _write_documents(spark, tmp_path, rows)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    reps = textops.exact_collapse(docs.select("doc_id", "text"))
+    banded = textops.minhash_band_relation(reps)
+    # LINEAR: 4 band rows per DISTINCT text (5 distinct), not per member
+    assert banded.count() == 4 * 5
+    assert {r.n_dups for r in reps.collect()} == {1000, 1, 1, 1, 1}
+
+    mh = q_dedup_minhash_lsh(spark, sf).collect()
+    # zero clone-clone pairs (the k² product is gone) ...
+    assert not any(r.a_id < 1000 and r.b_id < 1000 for r in mh)
+    # ... but the cluster's ONE representative still finds its near-dup,
+    # with the multiplicity on the pair
+    near = [r for r in mh if (r.a_id, r.b_id) == (0, 2000)]
+    assert len(near) == 1 and (near[0].a_dups, near[0].b_dups) == (1000, 1)
+
+    sh = q_dedup_simhash_pairs(spark, sf).collect()
+    assert not any(r.a_id < 1000 and r.b_id < 1000 for r in sh)
+    for r in sh:
+        assert r.a_dups == (1000 if r.a_id == 0 else 1)
+
+
+def test_band_bucket_cap_routes_hot_bucket(spark, tmp_path):
+    """The per-bucket population cap: >cap DISTINCT texts agreeing on every
+    band key (a near-identical mega-cluster — exact collapse can't merge
+    them) are routed OUT of the pair join instead of going quadratic, and
+    the drop is counted by band_population_stats.n_over_cap. Documents are
+    CONSTRUCTED to share their full MinHash signature: each doc is 9 common
+    words + one unique tail word chosen (by direct md5 computation) so its
+    only unique shingle never wins any of the 8 signature slices."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.functions import textops
+    from swissgeol_ocr_spark.plans.queries import minhash_pair_relation
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota".split()
+
+    def slices(s):
+        d = hashlib.md5(s.encode()).hexdigest()
+        return [d[4 * j: 4 * j + 4] for j in range(8)]
+
+    common_shingles = [" ".join(common[i: i + 3]) for i in range(len(common) - 2)]
+    floor = [min(sl) for sl in zip(*(slices(s) for s in common_shingles))]
+    tails = []
+    i = 0
+    while len(tails) < 10:
+        w = f"tail{i}"
+        uniq = f"{common[-2]} {common[-1]} {w}"
+        if all(s > f for s, f in zip(slices(uniq), floor)):
+            tails.append(w)
+        i += 1
+
+    rows = [(j, " ".join(common + [w]), "en", "s1") for j, w in enumerate(tails)]
+    sf = _write_documents(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    banded = textops.minhash_band_relation(
+        textops.exact_collapse(docs.select("doc_id", "text"))
+    )
+    assert banded.select("band_key").distinct().count() == 4  # all 10 collide
+
+    # under the cap: the full C(10,2) pair set survives
+    assert minhash_pair_relation(docs, cap=200).count() == 45
+    # over the cap: every band bucket is routed out → zero candidates
+    assert minhash_pair_relation(docs, cap=3).count() == 0
+    # and the routing is never silent: n_over_cap counts each hot bucket
+    stats = {r.band: r for r in textops.band_population_stats(
+        banded.withColumnRenamed("band_key", "bk"), "minhash", cap=3
+    ).collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    for r in stats.values():
+        assert (r.n_buckets, r.max_bucket, r.n_over_cap) == (1, 10, 1)
+
+
+def test_exact_membership_reexpansion(spark, tmp_path):
+    """After the collapse, byte-identical members must still be
+    non-canonical in curation and land in their keeper's cluster — via the
+    LINEAR fp→keeper relation, never a pair product."""
+    from swissgeol_ocr_spark.plans.queries import (
+        q_corpus_curation,
+        q_dedup_clusters,
+    )
+
+    body = ("solid quality text with plenty of ordinary words to pass the "
+            "curation floors and the token minimum for keeping documents")
+    rows = [(0, body, "en", "s1"), (1, body, "en", "s1"), (2, body, "en", "s1"),
+            (3, "some other unrelated document body entirely", "en", "s1")]
+    sf = _write_documents(spark, tmp_path, rows)
+
+    cur = {r.doc_id: r for r in q_corpus_curation(spark, sf).collect()}
+    assert cur[0].is_canonical and cur[3].is_canonical
+    assert not cur[1].is_canonical and not cur[2].is_canonical
+
+    cl = {r.doc_id: r.cluster_id for r in q_dedup_clusters(spark, sf).collect()}
+    assert cl[0] == cl[1] == cl[2] == 0
+    assert cl[3] == 3

@@ -207,6 +207,62 @@ def test_streaming_dedup_exact(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_streaming_neardup_matches_batch(spark, tmp_path):
+    """Incremental banded near-dup (foreachBatch against the accumulated
+    band index) must produce exactly the batch `dedup_minhash_lsh` pair
+    set on the same corpus — including a cross-batch near-dup (index-join
+    leg), a cross-batch exact duplicate (fingerprint drop leg), and
+    in-batch exact duplicates (the collapse leg)."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.plans.queries import q_dedup_minhash_lsh
+    from swissgeol_ocr_spark.streaming.pipeline import minhash_neardup_stream
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    other = "totally different text about mountains and rivers flowing by"
+    chunk1 = [(0, body), (1, body),  # in-batch exact dups → one rep (0)
+              (2, other)]
+    chunk2 = [(3, body),                         # cross-batch exact dup of 0
+              (4, body.replace("dog", "cat")),   # cross-batch near-dup of 0
+              (5, other + " streams")]           # cross-batch near-dup of 2
+    in_dir = str(tmp_path / "in")
+    schema = "doc_id long, text string"
+    # two writes → two files with distinct mod times → two micro-batches
+    # (maxFilesPerTrigger=1; the file source processes oldest-first)
+    spark.createDataFrame(chunk1, schema).repartition(1).write.parquet(in_dir)
+    spark.createDataFrame(chunk2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = minhash_neardup_stream(
+        stream,
+        index_path=str(tmp_path / "bandindex"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {(r.a_id, r.b_id)
+           for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+
+    sf = str(tmp_path / "batchsf")
+    spark.createDataFrame(chunk1 + chunk2, schema).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s1")).write.parquet(f"{sf}/documents.parquet")
+    want = {(r.a_id, r.b_id) for r in q_dedup_minhash_lsh(spark, sf).collect()}
+
+    assert got == want
+    assert (0, 4) in got           # the planted near-dup surfaced
+    assert not any(b in (1, 3) or a in (1, 3) for a, b in got)  # dups collapsed
+    # the index holds exactly one row set per DISTINCT text (4 bands each)
+    idx = spark.read.parquet(str(tmp_path / "bandindex"))
+    assert idx.count() == 4 * 4
+    assert idx.select("fp").distinct().count() == 4
+
+
 def test_streaming_metrics_windowed(spark, sf_dir, tmp_path):
     """The windowed metrics stream (the /collect polling surface) totals
     must equal the batch counts."""
