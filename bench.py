@@ -42,6 +42,10 @@ HEADLINE = [
     "cosine_topk",
     "quality_score",
     "token_count",
+    # round 5: the composed curation decision + the deterministic sampler —
+    # the likeliest real workload shapes, tracked round-over-round
+    "corpus_curation",
+    "stratified_sample",
 ]
 
 

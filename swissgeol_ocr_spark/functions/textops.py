@@ -126,15 +126,26 @@ def cap_band_buckets(
     does is a *near*-identical mega-cluster — >cap distinct texts agreeing
     on a band value. A true near-dup pair is lost only if EVERY band it
     shares is over-cap; ``band_population_stats(..., cap=...)`` counts the
-    routed buckets per band so the drop is visible, never silent. Cost: one
-    partial-agged groupBy + a semi-join, both on the compact band key."""
-    admitted = (
-        banded.groupBy(key_col)
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") <= cap)
-        .select(key_col)
+    routed buckets per band so the drop is visible, never silent.
+
+    Shape: a COUNT window over one hash exchange on the band key, NOT a
+    groupBy+semi-join — deliberately. The capped relation feeds a
+    self-join (two consumers) and Spark does no common-subplan
+    elimination, so a semi-join formulation re-evaluates the whole
+    collapse→signature→band subtree once per consumer per side (measured
+    4× = +2.4× wall on the wide-SimHash pairs at sf0.1). With the window,
+    every consumer sits on the SAME canonical Exchange and runtime
+    ReuseExchange evaluates the expensive subtree once; the window itself
+    is one count per already-shuffled partition, and the join that follows
+    reuses the bk partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    return (
+        banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
     )
-    return banded.join(admitted, key_col, "left_semi")
 
 
 def minhash_band_relation(reps: DataFrame) -> DataFrame:

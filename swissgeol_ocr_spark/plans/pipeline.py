@@ -622,6 +622,61 @@ def metrics_table(out_df: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def dedup_band_guard(
+    spark: SparkSession,
+    sf_dir: str,
+    run_id: str,
+    metrics_path: str | None = None,
+    config=None,
+) -> list[str]:
+    """Pre-flight skew guard for the banded dedup families — the
+    instrument (``dedup_band_stats``) wired into the pipeline as an
+    actuator's tripwire (round-4 verdict #5): a production corpus whose
+    representative band buckets exceed the routing cap trips a warning
+    (and a durable metrics row) BEFORE it trips a 10-hour pair-join stage.
+
+    Runs the band-population metrics over the exact-collapsed relations
+    the pair joins consume, appends one (family, band) row stamped with
+    (run_id, ts) to ``metrics_path`` (the same append-parquet/Iceberg
+    metrics convention as :func:`write_output`), and returns the warning
+    list — one entry per band with over-cap buckets, i.e. buckets
+    ``cap_band_buckets`` will route OUT of the join with a recall cost.
+    Empty list = healthy corpus.
+
+    Cost: one linear pass over the corpus per family (compact-key partial
+    aggs, never candidate pairs). The collect is bounded by bands ×
+    families (≤ ~20 rows), never by corpus size."""
+    import logging
+
+    from swissgeol_ocr_spark.plans.config import DedupConfig
+    from swissgeol_ocr_spark.plans.queries import dedup_band_stats_relation
+
+    cfg = config or DedupConfig()
+    stats = dedup_band_stats_relation(spark, sf_dir, cfg)
+    rows = stats.collect()  # ≤ bands × families rows — config-bounded
+    if metrics_path:
+        spark.createDataFrame(rows, stats.schema).select(
+            "*",
+            F.lit(run_id).alias("run_id"),
+            F.current_timestamp().alias("ts"),
+        ).write.mode("append").parquet(metrics_path)
+    warns = [
+        (
+            f"dedup band skew [{run_id}]: family={r.family} band={r.band} "
+            f"max_bucket={r.max_bucket} rows={r.n_rows} — {r.n_over_cap} "
+            f"bucket(s) exceed band_bucket_cap={cfg.band_bucket_cap} and "
+            f"will be routed out of the pair join (recall cost; see "
+            f"dedup_band_stats)"
+        )
+        for r in rows
+        if r.n_over_cap > 0
+    ]
+    log = logging.getLogger("swissgeol_ocr_spark.dedup")
+    for w in warns:
+        log.warning(w)
+    return warns
+
+
 def iceberg_catalog(spark) -> str | None:
     """Name of a configured-and-loadable Iceberg catalog, else None.
 

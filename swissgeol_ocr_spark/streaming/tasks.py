@@ -112,3 +112,63 @@ class TaskRegistry:
             task = self._tasks.get(doc_id)
             if task is not None:
                 task.result = result
+
+
+@dataclass
+class DurableTaskRegistry(TaskRegistry):
+    """TaskRegistry with restart recovery (round-4 verdict #6).
+
+    The reference registry is process-local by design (one API pod fronts
+    one processor, utils/task.py:28-62), so a pod restart loses in-flight
+    bookkeeping — the same is true of the plain :class:`TaskRegistry`
+    fronting one Spark driver. This variant closes the *completed-work*
+    half of that gap without changing the data plane: on a poll for a
+    doc_id the in-memory dict does not know, ``completed_lookup`` consults
+    the COMMITTED metrics/manifest table (the engine's own durable record,
+    written by ``plans.pipeline.write_output``) and, on a hit, answers
+    ``has_finished: True`` with the committed row — so a restarted driver
+    resumes poll state from the table instead of forcing a re-run.
+
+    Reference semantics preserved exactly: a recovered result is delivered
+    AT MOST ONCE per driver epoch (the second poll answers 422, like
+    ``collect_result`` deleting the entry); submit/in-flight behavior is
+    untouched (a re-submit after recovery starts a fresh task, exactly as
+    it does after a normal delivery). In-flight tasks of the dead epoch
+    were never committed and therefore correctly re-run. The lookup is a
+    doc_id point probe against the committed table — metadata/bloom-pruned
+    on Iceberg, a column-pruned parquet scan in the sandbox — never a full
+    table collect into driver memory."""
+
+    completed_lookup: Callable[[str], Any] | None = None
+    _recovered: set = field(default_factory=set)
+
+    def collect(self, doc_id: str) -> tuple[int, dict | None]:
+        with self._lock:
+            known = doc_id in self._tasks
+            if not known and self.completed_lookup is not None \
+                    and doc_id not in self._recovered:
+                hit = self.completed_lookup(doc_id)
+                if hit is not None:
+                    self._recovered.add(doc_id)  # delivered once per epoch
+                    return OK, {"has_finished": True, "data": hit}
+        return super().collect(doc_id)
+
+
+def metrics_completed_lookup(spark, metrics_path: str, backend: str = "auto"):
+    """``completed_lookup`` factory over the committed metrics table: maps
+    doc_id → that document's committed metrics row (dict) or None. Each
+    probe is one filtered, limit-1 read — doc_id predicate pushed to the
+    scan — so recovery cost scales with polls, not with table size."""
+    from pyspark.sql import functions as F  # lazy: keep this module Spark-free
+
+    from swissgeol_ocr_spark.plans.pipeline import read_committed
+
+    def lookup(doc_id: str):
+        try:
+            df = read_committed(spark, metrics_path, backend=backend)
+        except Exception:  # nothing committed yet — no recovery possible
+            return None
+        rows = df.filter(F.col("doc_id") == doc_id).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    return lookup

@@ -408,20 +408,12 @@ def test_hot_duplicate_cluster_linear(spark, tmp_path):
         assert r.a_dups == (1000 if r.a_id == 0 else 1)
 
 
-def test_band_bucket_cap_routes_hot_bucket(spark, tmp_path):
-    """The per-bucket population cap: >cap DISTINCT texts agreeing on every
-    band key (a near-identical mega-cluster — exact collapse can't merge
-    them) are routed OUT of the pair join instead of going quadratic, and
-    the drop is counted by band_population_stats.n_over_cap. Documents are
-    CONSTRUCTED to share their full MinHash signature: each doc is 9 common
+def _minhash_colliding_docs(n):
+    """n DISTINCT texts CONSTRUCTED to share their full MinHash signature
+    (a deterministic near-identical mega-cluster): each doc is 9 common
     words + one unique tail word chosen (by direct md5 computation) so its
     only unique shingle never wins any of the 8 signature slices."""
     import hashlib
-
-    from pyspark.sql import functions as F
-
-    from swissgeol_ocr_spark.functions import textops
-    from swissgeol_ocr_spark.plans.queries import minhash_pair_relation
 
     common = "alpha beta gamma delta epsilon zeta eta theta iota".split()
 
@@ -433,15 +425,26 @@ def test_band_bucket_cap_routes_hot_bucket(spark, tmp_path):
     floor = [min(sl) for sl in zip(*(slices(s) for s in common_shingles))]
     tails = []
     i = 0
-    while len(tails) < 10:
+    while len(tails) < n:
         w = f"tail{i}"
         uniq = f"{common[-2]} {common[-1]} {w}"
         if all(s > f for s, f in zip(slices(uniq), floor)):
             tails.append(w)
         i += 1
+    return [(j, " ".join(common + [w]), "en", "s1") for j, w in enumerate(tails)]
 
-    rows = [(j, " ".join(common + [w]), "en", "s1") for j, w in enumerate(tails)]
-    sf = _write_documents(spark, tmp_path, rows)
+
+def test_band_bucket_cap_routes_hot_bucket(spark, tmp_path):
+    """The per-bucket population cap: >cap DISTINCT texts agreeing on every
+    band key (a near-identical mega-cluster — exact collapse can't merge
+    them) are routed OUT of the pair join instead of going quadratic, and
+    the drop is counted by band_population_stats.n_over_cap."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.functions import textops
+    from swissgeol_ocr_spark.plans.queries import minhash_pair_relation
+
+    sf = _write_documents(spark, tmp_path, _minhash_colliding_docs(10))
     docs = spark.read.parquet(f"{sf}/documents.parquet")
 
     banded = textops.minhash_band_relation(
@@ -460,6 +463,42 @@ def test_band_bucket_cap_routes_hot_bucket(spark, tmp_path):
     assert set(stats) == {0, 1, 2, 3}
     for r in stats.values():
         assert (r.n_buckets, r.max_bucket, r.n_over_cap) == (1, 10, 1)
+
+
+def test_dedup_band_guard_trips_on_skew(spark, tmp_path):
+    """The pipeline guard over the band-stats instrument: a corpus whose
+    representative buckets exceed the cap trips warnings AND durable
+    metrics rows BEFORE any pair join runs; a healthy corpus at the
+    default cap stays silent (empty warning list), with its metrics rows
+    still recorded."""
+    import shutil
+
+    from swissgeol_ocr_spark.plans.config import DedupConfig
+    from swissgeol_ocr_spark.plans.pipeline import dedup_band_guard
+
+    sf = _write_documents(spark, tmp_path, _minhash_colliding_docs(10))
+    # the band-stats relation also covers the embedding family
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet",
+                str(tmp_path / "embeddings.parquet"))
+    metrics = str(tmp_path / "skew_metrics")
+
+    warns = dedup_band_guard(
+        spark, sf, "guard-1", metrics_path=metrics,
+        config=DedupConfig(band_bucket_cap=3),
+    )
+    assert any("family=minhash" in w for w in warns)  # all 10 share all bands
+    assert all("routed out" in w for w in warns)
+
+    m = spark.read.parquet(metrics)
+    rows = m.collect()
+    assert {r.family for r in rows} == {"simhash", "minhash", "embedding"}
+    assert all(r.run_id == "guard-1" for r in rows)
+    mh = [r for r in rows if r.family == "minhash"]
+    assert len(mh) == 4 and all(r.n_over_cap == 1 and r.max_bucket == 10 for r in mh)
+
+    # healthy at the default cap: silent, but the metrics rows still land
+    assert dedup_band_guard(spark, sf, "guard-2", metrics_path=metrics) == []
+    assert spark.read.parquet(metrics).filter("run_id = 'guard-2'").count() == len(rows)
 
 
 def test_exact_membership_reexpansion(spark, tmp_path):

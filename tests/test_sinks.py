@@ -44,6 +44,61 @@ def test_sink_backend_gating(spark):
         spark.conf.unset("spark.sql.catalog.sinktest")
 
 
+def test_iceberg_probe_survives_stale_entry(tmp_path):
+    """The catalog probe must keep scanning past a stale entry (configured
+    catalog whose jar is absent) instead of giving up — one stale entry
+    plus one live catalog must still resolve to the live one, whatever the
+    conf dict's iteration order. No Iceberg jar ships in this container,
+    so the live catalog is a COMPILED stand-in class whose name marks it
+    as Iceberg, on the classpath of a fresh JVM (driver extraClassPath
+    can't change after launch, hence the subprocess): this executes the
+    conf-scan → Class.forName → backend-resolution path for real — 'auto'
+    flips to iceberg and an explicit 'iceberg' request stops raising.
+    The writeTo() data path itself still needs the real runtime jar (see
+    BASELINE.md)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import textwrap
+
+    if shutil.which("javac") is None:
+        pytest.skip("no javac in this environment")
+    src = tmp_path / "FakeIcebergCatalog.java"
+    src.write_text("public class FakeIcebergCatalog {}\n")
+    subprocess.run(["javac", "-d", str(tmp_path), str(src)], check=True)
+
+    script = textwrap.dedent(
+        f"""
+        from pyspark.sql import SparkSession
+        from swissgeol_ocr_spark.plans.pipeline import (
+            iceberg_catalog, resolve_sink_backend,
+        )
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.extraClassPath", {str(tmp_path)!r})
+            .config("spark.sql.catalog.aaastale",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.live", "FakeIcebergCatalog")
+            .getOrCreate()
+        )
+        got = iceberg_catalog(spark)
+        assert got == "live", f"probe found {{got!r}}, not the live catalog"
+        assert resolve_sink_backend(spark, "auto") == "iceberg"
+        assert resolve_sink_backend(spark, "iceberg") == "iceberg"
+        spark.stop()
+        print("PROBE-OK")
+        """
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert "PROBE-OK" in out.stdout, out.stdout + "\n" + out.stderr[-2000:]
+
+
 @pytest.fixture(params=["parquet", "iceberg"])
 def sink_backend(request, spark):
     if request.param == "iceberg" and iceberg_catalog(spark) is None:

@@ -127,3 +127,75 @@ def test_registry_over_extraction_kernel(spark, sf_dir):
     assert status == OK and body["has_finished"]
     assert len(body["data"]) > 0                      # ordered span sequence
     assert reg.collect(some_id) == (UNPROCESSABLE_ENTITY, None)
+
+
+def test_durable_registry_recovers_completed_after_restart():
+    """Restart recovery (DurableTaskRegistry): a doc completed and
+    committed by a previous driver epoch answers has_finished from the
+    durable record, exactly once per epoch; unknown docs still 422;
+    in-flight-at-crash docs (never committed) re-run normally."""
+    from swissgeol_ocr_spark.streaming.tasks import DurableTaskRegistry
+
+    committed = {"doc-1": {"doc_id": "doc-1", "n_spans_out": 7, "status": "ok"}}
+    runs = []
+    reg = DurableTaskRegistry(
+        exists=KNOWN.__contains__,
+        run=lambda d: runs.append(d) or f"out:{d}",
+        synchronous=True,
+        completed_lookup=committed.get,
+    )
+    # restarted driver: never saw doc-1, but the table has it
+    status, body = reg.collect("doc-1")
+    assert status == OK and body["has_finished"]
+    assert body["data"]["n_spans_out"] == 7
+    assert runs == []                                  # no re-run forced
+    # delivered once per epoch — the reference's delete-after-collect
+    assert reg.collect("doc-1") == (UNPROCESSABLE_ENTITY, None)
+    # a re-submit after recovery starts a FRESH task (reference semantics)
+    assert reg.submit("doc-1") == NO_CONTENT
+    status, body = reg.collect("doc-1")
+    assert body == {"has_finished": True, "data": "out:doc-1"}
+    assert runs == ["doc-1"]
+    # doc-2 was in flight at crash time: not committed -> plain 422, then
+    # a submit runs it for real
+    assert reg.collect("doc-2") == (UNPROCESSABLE_ENTITY, None)
+    assert reg.submit("doc-2") == NO_CONTENT
+    assert reg.collect("doc-2")[1]["data"] == "out:doc-2"
+    # live dict wins over the durable record while a task is registered
+    reg2 = DurableTaskRegistry(
+        exists=KNOWN.__contains__, run=lambda d: "fresh",
+        synchronous=True, completed_lookup=committed.get,
+    )
+    assert reg2.submit("doc-1") == NO_CONTENT
+    assert reg2.collect("doc-1")[1]["data"] == "fresh"
+
+
+def test_durable_registry_over_committed_metrics_table(spark, tmp_path, sf_dir):
+    """End-to-end restart: run 1 commits output+metrics via write_output;
+    a NEW registry (the restarted driver) built over the committed metrics
+    table answers collect() for the committed docs without re-running."""
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline, write_output
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+    from swissgeol_ocr_spark.streaming.tasks import (
+        DurableTaskRegistry,
+        metrics_completed_lookup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    write_output(extract_pipeline(documents_to_spans(docs)), out, "epoch-1",
+                 metrics_path=metrics, backend="parquet")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    reg = DurableTaskRegistry(
+        exists=lambda d: True,
+        run=lambda d: pytest.fail("recovery must not re-run committed docs"),
+        synchronous=True,
+        completed_lookup=metrics_completed_lookup(spark, metrics, backend="parquet"),
+    )
+    status, body = reg.collect(str(ids[0]))
+    assert status == OK and body["has_finished"]
+    assert body["data"]["run_id"] == "epoch-1"
+    assert body["data"]["n_spans_out"] >= 0
+    # a doc the epoch never processed is a plain 422
+    assert reg.collect("never-seen") == (UNPROCESSABLE_ENTITY, None)
