@@ -2086,6 +2086,297 @@ WHERE u < CASE lang
 """
 
 
+# Corpus-level boilerplate detection (CCNet/RefinedWeb-style): a text unit
+# is boilerplate when it recurs across a domain's documents. The unit here
+# is a non-overlapping BOILER_CHUNK_WORDS-word chunk; the threshold is
+# RELATIVE (appears in ≥ half the source's docs, and in ≥ 2 docs) so the
+# query discriminates at every driver scale factor. The per-source header
+# prepended by _augmented_documents_boiler plays the role of site chrome
+# (nav bars, footers) — every real page on a domain carries it; the driver
+# tables are immutable, so the structure is synthesized identically on both
+# engines (same precedent as _augmented_documents_neardup).
+BOILER_CHUNK_WORDS = 4
+BOILER_HEADER = "nav home about contact privacy terms login"
+
+
+def _augmented_documents_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the deterministic per-source site chrome prepended:
+    ``nav home about contact privacy terms login <source>`` — 8 words, i.e.
+    exactly two 4-word chunks, shared by every doc of the source."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit(BOILER_HEADER + " "), F.col("source"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line/segment strip — the web analogue of the
+    reference's header/footer confidence stripping (C2/C3,
+    /root/reference/ocr/applyocr.py:94-112 strips recurring page furniture
+    per document; at corpus scale the recurring unit is cross-document site
+    chrome). A chunk (non-overlapping 4-word window) is boilerplate iff it
+    appears in ≥ 2 docs AND ≥ half of its source's documents; the query
+    emits one row per doc with chunk counts, the boilerplate ratio and the
+    md5 of the chunk-stripped text (order-preserving reassembly).
+
+    Scale shape (100 TB): three keyed shuffles, never a pair join —
+    (1) chunk doc-frequency: partial-agg'd groupBy on (source, chunk);
+    (2) flagging: equi-join of the exploded chunks against the boiler set
+    on (source, chunk) — NOT broadcast: across millions of domains the
+    union of boilerplate is a large relation, so it meets the chunks in a
+    hash join keyed the same way as the DF agg (one exchange reused);
+    (3) per-doc reassembly: groupBy doc_id. A k-doc-wide boilerplate chunk
+    costs k join rows — linear, the quadratic shape a pair-join formulation
+    would have. Source-relative threshold in pure integer arithmetic
+    (df*2 >= n_src) — portable across engines."""
+    aug = _augmented_documents_boiler(spark, sf_dir)
+    # materialize the split BEFORE the transform lambda (HOF lambdas
+    # re-evaluate inlined expressions per element)
+    words = aug.select("doc_id", "source", F.split("text", " ").alias("w"))
+    k = BOILER_CHUNK_WORDS
+    chunks = words.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(F.size("w") / F.lit(k)).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), (i - 1) * k + 1, k)),
+        ).alias("chunks"),
+    )
+    ex = chunks.select(
+        "doc_id", "source", F.posexplode("chunks").alias("pos", "chunk")
+    )
+    src_n = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_src"))
+    )
+    boiler = (
+        ex.groupBy("source", "chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(src_n, "source")
+        .filter((F.col("df") >= 2) & (F.col("df") * 2 >= F.col("n_src")))
+        .select("source", "chunk", F.lit(True).alias("_boiler"))
+    )
+    flagged = ex.join(boiler, ["source", "chunk"], "left")
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).alias("n_boiler"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("_boiler").isNull(), F.struct("pos", "chunk"))
+            )
+        ).alias("_kept"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_chunks",
+        "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_chunks"), 6).alias("boiler_ratio"),
+        F.md5(
+            F.concat_ws(" ", F.transform(F.col("_kept"), lambda s: s["chunk"]))
+        ).alias("kept_fp"),
+    )
+
+
+SQL_BOILERPLATE = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         '{BOILER_HEADER} ' || source || ' ' || text AS text
+  FROM documents
+), words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM aug
+), chunks AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(
+           list_slice(w, (i-1)*{BOILER_CHUNK_WORDS}+1, i*{BOILER_CHUNK_WORDS}),
+           ' ') AS chunk
+  FROM words,
+       UNNEST(generate_series(
+         1, CAST(ceil(len(w) / {BOILER_CHUNK_WORDS}.0) AS INT))) t(i)
+), srcn AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+), boiler AS (
+  SELECT c.source, c.chunk
+  FROM (SELECT source, chunk, count(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY source, chunk) c
+  JOIN srcn USING (source)
+  WHERE df >= 2 AND df * 2 >= n_src
+), flagged AS (
+  SELECT c.doc_id, c.source, c.pos, c.chunk,
+         (b.chunk IS NOT NULL) AS is_boiler
+  FROM chunks c
+  LEFT JOIN boiler b ON c.source = b.source AND c.chunk = b.chunk
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) / count(*), 6)
+         AS boiler_ratio,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' ' ORDER BY pos),
+         '')) AS kept_fp
+FROM flagged
+GROUP BY doc_id, source
+"""
+
+
+# Benchmark decontamination: training docs sharing any word-4-gram with the
+# held-out benchmark slice are flagged (Brown/GPT-3-style n-gram overlap).
+# The benchmark here is the deterministic doc_id % DECON_STRIDE == 0 slice
+# of the immutable driver corpus — at production scale it is an actual eval
+# suite, MBs against a 100 TB corpus.
+DECON_STRIDE = 10
+DECON_NGRAM = 4
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination by n-gram overlap: one row per TRAINING
+    document (the corpus minus the benchmark slice) with the number of
+    distinct word-4-grams it shares with any benchmark document and the
+    resulting ``contaminated`` flag.
+
+    Scale shape (100 TB): the benchmark gram set is benchmark-suite-sized
+    (eval suites are MBs by definition), so it is broadcast and every
+    training gram meets it map-side — zero shuffle for the membership
+    probe; the only exchange is the per-doc hit regroup on doc_id. Grams
+    are per-doc distinct BEFORE the join (array_distinct at extraction),
+    so count(*) after the join IS the distinct-hit count and a gram
+    repeated inside one doc costs one row, not many. Guarded for docs
+    shorter than the gram width (Spark's sequence() would count DOWN for
+    stop < start — the empty-array branch is explicit)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = DECON_NGRAM
+    grams = words.select(
+        "doc_id",
+        F.when(
+            F.size("w") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    )
+    ex = grams.select("doc_id", F.explode("gs").alias("g"))
+    bench = (
+        ex.filter(F.col("doc_id") % DECON_STRIDE == 0).select("g").distinct()
+    )
+    hits = (
+        ex.filter(F.col("doc_id") % DECON_STRIDE != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    train = docs.filter(F.col("doc_id") % DECON_STRIDE != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_gram_hits"),
+        F.col("n").isNotNull().alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {DECON_NGRAM} THEN
+           list_distinct(list_transform(
+             range(1, len(w) - {DECON_NGRAM - 2}),
+             i -> array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM words
+), ex AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+), bench AS (
+  SELECT DISTINCT g FROM ex WHERE doc_id % {DECON_STRIDE} = 0
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM ex JOIN bench USING (g)
+  WHERE doc_id % {DECON_STRIDE} != 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(hits.n, 0) AS n_gram_hits,
+       hits.n IS NOT NULL AS contaminated
+FROM documents d
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % {DECON_STRIDE} != 0
+"""
+
+
+# Sequence packing: greedy document-contiguous assignment of curated docs
+# into fixed token-budget training sequences — the step between curation
+# and tokenization. Packing is inherently order-dependent, so at corpus
+# scale it runs per bounded block (real pipelines pack per input shard);
+# the deterministic proxy block is doc_id ÷ PACK_BLOCK_DOCS.
+PACK_BLOCK_DOCS = 100
+PACK_SEQ_TOKENS = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: each document lands in training
+    sequence ``seq_id`` at token offset ``tok_offset``, where sequences are
+    filled greedily in doc_id order within a block (a doc that crosses the
+    budget boundary opens the next sequence — document-contiguous packing).
+
+    Scale shape (100 TB): ONE hash exchange on the block key, then a
+    bounded window (≤ PACK_BLOCK_DOCS rows per partition key) — blocks pack
+    embarrassingly parallel, and no global ORDER BY window ever exists (a
+    corpus-wide cumulative sum would serialize into one partition). All
+    boundary arithmetic is floor() on BIGINTs — portable (DuckDB CAST
+    rounds where Spark truncates, the documented trap)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = textops.token_counts(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        counts["ws_tokens"].alias("ws_tokens"),
+        F.floor(F.col("doc_id") / F.lit(PACK_BLOCK_DOCS)).cast("bigint").alias("block"),
+    )
+    w = Window.partitionBy("block").orderBy("doc_id")
+    start = (F.sum("ws_tokens").over(w) - F.col("ws_tokens")).alias("_start")
+    d = d.select("doc_id", "ws_tokens", "block", start)
+    seq_in_block = F.floor(F.col("_start") / F.lit(float(PACK_SEQ_TOKENS))).cast(
+        "bigint"
+    )
+    return d.select(
+        "doc_id",
+        "ws_tokens",
+        "block",
+        (F.col("block") * 1_000_000 + seq_in_block).alias("seq_id"),
+        (F.col("_start") - seq_in_block * PACK_SEQ_TOKENS).alias("tok_offset"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         doc_id // {PACK_BLOCK_DOCS} AS block
+  FROM documents
+), cum AS (
+  SELECT doc_id, ws_tokens, block,
+         sum(ws_tokens) OVER (PARTITION BY block ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - ws_tokens AS start
+  FROM toks
+)
+SELECT doc_id, ws_tokens, block,
+       block * 1000000
+         + CAST(floor(start / {PACK_SEQ_TOKENS}.0) AS BIGINT) AS seq_id,
+       start - CAST(floor(start / {PACK_SEQ_TOKENS}.0) AS BIGINT)
+         * {PACK_SEQ_TOKENS} AS tok_offset
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipeline queries (kernel-backed → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -2396,6 +2687,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "corpus_curation": (q_corpus_curation, SQL_CURATION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),

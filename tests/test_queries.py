@@ -306,7 +306,8 @@ SF0001_SPOT = [
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "ivf_ann_trained",
     "lsh_ann", "media_features", "media_downscale", "quality_score",
     "event_windows", "p7_downscale_budget", "corpus_curation",
-    "stratified_sample", "dedup_band_stats",
+    "stratified_sample", "dedup_band_stats", "boilerplate_strip",
+    "decontaminate", "pack_sequences",
 ]
 
 
@@ -523,3 +524,86 @@ def test_exact_membership_reexpansion(spark, tmp_path):
     cl = {r.doc_id: r.cluster_id for r in q_dedup_clusters(spark, sf).collect()}
     assert cl[0] == cl[1] == cl[2] == 0
     assert cl[3] == 3
+
+
+def test_boilerplate_strip_site_chrome_and_footer(spark, tmp_path):
+    """Corpus-level boilerplate strip: the per-source chrome header is
+    always removed, and an organic footer shared by half the source's docs
+    crosses the relative threshold (df>=2 AND df*2>=n_src) while unique
+    chunks survive. kept_fp must equal the md5 of the order-preserving
+    chunk-stripped text."""
+    import hashlib
+
+    from swissgeol_ocr_spark.plans.queries import q_boilerplate_strip
+
+    footer = "buy cheap widgets now"
+    rows = [  # bodies are 8 words: header(7)+source(1) fills chunks 1-2, the
+        (0, "alpha beta gamma delta epsilon zeta eta theta " + footer, "en", "s1"),
+        (1, "one two three four five six seven eight " + footer, "en", "s1"),
+        (2, "red orange yellow green blue indigo violet crimson", "en", "s1"),
+        (3, "cat dog bird fish horse mouse goat sheep", "en", "s1"),
+    ]  # body chunks 3-4, and the footer its own aligned chunk in docs 0-1
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_boilerplate_strip(spark, sf).collect()}
+
+    def kept_md5(body):
+        return hashlib.md5(body.encode()).hexdigest()
+
+    assert out[0].n_chunks == 5 and out[0].n_boiler == 3  # 2 chrome + footer
+    assert out[0].kept_fp == kept_md5("alpha beta gamma delta epsilon zeta eta theta")
+    assert out[1].n_boiler == 3
+    assert out[2].n_chunks == 4 and out[2].n_boiler == 2  # chrome only
+    assert out[2].kept_fp == kept_md5("red orange yellow green blue indigo violet crimson")
+    assert abs(out[0].boiler_ratio - 0.6) < 1e-9
+    # at the driver corpus, every doc sheds at least the injected chrome
+    sample = q_boilerplate_strip(spark, "/root/testdata/sf0.01").filter(
+        "n_boiler < 2"
+    )
+    assert sample.count() == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    """A training doc sharing one 4-gram with a benchmark doc is flagged
+    with the exact distinct-hit count; disjoint docs stay clean; benchmark
+    docs never appear in the output."""
+    from swissgeol_ocr_spark.plans.queries import q_decontaminate
+
+    secret = "xylophone quark nebula fjord"
+    rows = [
+        (0, "benchmark question about the " + secret + " answer", "en", "s1"),
+        (10, "another benchmark row entirely different words", "en", "s1"),
+        (11, "training document leaking " + secret + " verbatim", "en", "s1"),
+        (12, "clean training document with fresh vocabulary only", "en", "s1"),
+        (13, "tiny doc", "en", "s1"),  # shorter than the gram width
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_decontaminate(spark, sf).collect()}
+    assert set(out) == {11, 12, 13}  # benchmark ids 0,10 excluded
+    assert out[11].contaminated and out[11].n_gram_hits == 1
+    assert not out[12].contaminated and out[12].n_gram_hits == 0
+    assert not out[13].contaminated
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    """Packing invariants at sf0.01: offsets live in [0, budget); within
+    each block the assignment equals a sequential greedy pass over doc_id
+    order (the semantics a single-threaded packer would produce)."""
+    from collections import defaultdict
+
+    from swissgeol_ocr_spark.plans.queries import (
+        PACK_SEQ_TOKENS,
+        q_pack_sequences,
+    )
+
+    rows = q_pack_sequences(spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(0 <= r.tok_offset < PACK_SEQ_TOKENS for r in rows)
+    by_block = defaultdict(list)
+    for r in rows:
+        by_block[r.block].append(r)
+    for block, docs in by_block.items():
+        start = 0
+        for r in sorted(docs, key=lambda r: r.doc_id):
+            seq = start // PACK_SEQ_TOKENS
+            assert r.seq_id == block * 1_000_000 + seq, r
+            assert r.tok_offset == start - seq * PACK_SEQ_TOKENS, r
+            start += r.ws_tokens
