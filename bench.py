@@ -276,12 +276,16 @@ def main_scaling() -> None:
             "K independent pinned Python processes each running the bare\n"
             "extraction kernel on the same 5000-doc corpus slice — the\n"
             "per-core ceiling any executor layout on this box can reach.\n"
-            "ONE-TIME measurement (2026-08-16, this 32-core shared cloud\n"
+            "ONE-TIME measurement (2026-08-17, this 32-core shared cloud\n"
             "host, scripts/ceiling_control.py) — not re-measured on each\n"
             "--scaling run; regenerate it when the host changes:\n\n"
             "| procs | per-proc docs/s | per-core efficiency vs 2 procs |\n"
             "|---|---|---|\n"
-            "| 2 | 927 | 1.00 |\n| 8 | 797 | 0.86 |\n| 32 | 622 | 0.67 |\n\n"
+            "| 2 | 1190 | 1.00 |\n| 8 | 1035 | 0.87 |\n| 32 | 594 | 0.50 |\n\n"
+            "(Round-5 host: the VM was re-provisioned 2026-08-17 — faster\n"
+            "single cores, harder 32-proc memory-bandwidth wall than the\n"
+            "round-4 box; absolute numbers are not comparable across\n"
+            "rounds, ratios are read against this control.)\n\n"
             f"This run: {r2['docs_per_sec'] / 2:.0f} docs/s/core at 2 cores, "
             f"{r8['docs_per_sec'] / 8:.0f} at 8, {r32['docs_per_sec'] / 32:.0f} at 32\n"
             "(read against the control row for the same K — the pipeline can\n"
