@@ -2377,6 +2377,119 @@ FROM cum
 """
 
 
+# Gopher-style repetition signals: the share of a document made of repeated
+# word n-grams. Boilerplate-heavy or degenerate generated text shows a high
+# duplicate-gram ratio / a single dominant gram; quality filters drop docs
+# past a threshold (Rae et al. 2021 use 2-gram top-share and duplicate
+# 3-/4-gram character fractions).
+REP_NGRAM = 2
+REP_TOP_SHARE_MAX = 0.20
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals over word-2-grams: total grams,
+    distinct grams, the duplicate-gram ratio (1 - distinct/total), the
+    most-frequent gram's share of the doc, and the Gopher-style ``repetitive``
+    flag (top share > REP_TOP_SHARE_MAX). Web analogue of the reference's
+    per-document recurring-furniture strip (C2,
+    /root/reference/ocr/applyocr.py:94-112) as a *scored signal* rather than
+    a strip — the form a curation pipeline composes into its keep decision.
+
+    Scale shape (100 TB): two keyed shuffles, both partial-agg'd —
+    groupBy(doc_id, gram) then groupBy(doc_id); a doc's grams land in at
+    most gram-count rows (linear), never a pair join. Short docs
+    (< REP_NGRAM words → zero grams) are routed explicitly (size(null)
+    is NULL, the documented trap) and emit zero ratios, not NULLs."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = REP_NGRAM
+    grams = words.select(
+        "doc_id",
+        F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    )
+    per_gram = grams.select(
+        "doc_id", F.explode("gs").alias("g")
+    ).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(1 - F.col("n_distinct") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_gram_ratio"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(F.col("top_c") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_gram_share"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.col("top_c") / F.col("n_grams") > REP_TOP_SHARE_MAX,
+            )
+            .otherwise(F.lit(False))
+            .alias("repetitive"),
+        )
+    )
+
+
+SQL_REPETITION = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {REP_NGRAM} THEN
+           list_transform(
+             range(1, len(w) - {REP_NGRAM - 2}),
+             i -> array_to_string(list_slice(w, i, i + {REP_NGRAM - 1}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM words
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+  GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct, max(c) AS top_c
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN p.n_grams IS NOT NULL
+            THEN round(1 - p.n_distinct / CAST(p.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_gram_ratio,
+       CASE WHEN p.n_grams IS NOT NULL
+            THEN round(p.top_c / CAST(p.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS top_gram_share,
+       CASE WHEN p.n_grams IS NOT NULL
+            THEN p.top_c / CAST(p.n_grams AS DOUBLE) > {REP_TOP_SHARE_MAX}
+            ELSE FALSE END AS repetitive
+FROM documents d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipeline queries (kernel-backed → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -2690,6 +2803,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),

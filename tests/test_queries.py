@@ -307,7 +307,7 @@ SF0001_SPOT = [
     "lsh_ann", "media_features", "media_downscale", "quality_score",
     "event_windows", "p7_downscale_budget", "corpus_curation",
     "stratified_sample", "dedup_band_stats", "boilerplate_strip",
-    "decontaminate", "pack_sequences",
+    "decontaminate", "pack_sequences", "repetition_ratio",
 ]
 
 
@@ -607,3 +607,28 @@ def test_pack_sequences_matches_greedy_reference(spark):
             assert r.seq_id == block * 1_000_000 + seq, r
             assert r.tok_offset == start - seq * PACK_SEQ_TOKENS, r
             start += r.ws_tokens
+
+
+def test_repetition_ratio_signals(spark, tmp_path):
+    """Gopher-style repetition signals: a degenerate doc ('spam spam ...')
+    maxes out dup_gram_ratio/top_gram_share and trips the flag; an
+    all-distinct doc scores zero; a doc shorter than the gram width emits
+    zero grams and zero ratios (not NULLs)."""
+    from swissgeol_ocr_spark.plans.queries import q_repetition_ratio
+
+    rows = [
+        (0, "spam spam spam spam spam spam", "en", "s1"),   # 5 grams, 1 distinct
+        (1, "one two three four five six", "en", "s1"),     # all distinct
+        (2, "word", "en", "s1"),                            # below gram width
+        (3, "ab cd ab cd ab cd", "en", "s1"),               # 'ab cd' 3/5
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_repetition_ratio(spark, sf).collect()}
+    assert out[0].n_grams == 5 and out[0].n_distinct == 1
+    assert out[0].dup_gram_ratio == 0.8 and out[0].top_gram_share == 1.0
+    assert out[0].repetitive
+    assert out[1].dup_gram_ratio == 0.0 and not out[1].repetitive
+    assert out[2].n_grams == 0 and out[2].top_gram_share == 0.0
+    assert not out[2].repetitive
+    assert out[3].n_grams == 5
+    assert out[3].top_gram_share == 0.6 and out[3].repetitive
