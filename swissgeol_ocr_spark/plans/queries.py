@@ -2490,6 +2490,188 @@ LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+# Domain-level curation (C4/RefinedWeb-style): entire sources are dropped
+# when their duplicate or low-quality fraction is excessive — the per-domain
+# analogue of the per-document keep decision. Thresholds are in integer
+# percent and the flag compares in INTEGER arithmetic (n*100 > n_docs*pct):
+# a float `frac > 0.18` can flip between engines when n/n_docs lands on a
+# representation boundary; integers cannot. Chosen so both kept and dropped
+# sources exist at every driver SF (non-trivial oracle).
+DOMAIN_MAX_DUP_PCT = 10
+DOMAIN_MAX_LOWQ_PCT = 18
+
+
+def q_source_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) curation stats and drop decision: one row
+    per ``source`` with its doc count, non-canonical (near/exact-dup) count
+    and fraction, low-quality count and fraction, and ``drop_domain`` —
+    true when dups exceed DOMAIN_MAX_DUP_PCT% or low-quality docs exceed
+    DOMAIN_MAX_LOWQ_PCT%. Web-pipeline analogue of the reference's
+    skip-existing *source-prefix* gate (S3, /root/reference/main.py:27-47)
+    lifted to a quality policy: domains, not files, are the unit a corpus
+    operator blocks.
+
+    Scale shape (100 TB): the per-doc signals reuse the corpus_curation
+    scan (near-dup relation = banded LSH over exact-collapsed
+    representatives — never all-pairs); the domain rollup is ONE keyed
+    shuffle on ``source`` with partial aggregation, so a giant domain
+    (millions of docs on one key) is absorbed map-side — each task
+    contributes one partial row per source, the reduce side sees
+    #tasks × #sources rows, not #docs. The decision is computed in the
+    same agg projection; no second pass over the corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    cur = q_corpus_curation(spark, sf_dir).select(
+        "doc_id", "is_canonical", "quality"
+    )
+    agg = (
+        docs.join(cur, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dup"),
+            F.sum(
+                F.when(F.col("quality") < CURATION_MIN_QUALITY, 1).otherwise(0)
+            ).alias("n_lowq"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+        F.round(F.col("n_dup") / F.col("n_docs"), 6).alias("dup_frac"),
+        F.col("n_lowq").cast("bigint").alias("n_lowq"),
+        F.round(F.col("n_lowq") / F.col("n_docs"), 6).alias("lowq_frac"),
+        (
+            (F.col("n_dup") * 100 > F.col("n_docs") * DOMAIN_MAX_DUP_PCT)
+            | (F.col("n_lowq") * 100 > F.col("n_docs") * DOMAIN_MAX_LOWQ_PCT)
+        ).alias("drop_domain"),
+    )
+
+
+SQL_DOMAIN_FILTER = f"""
+WITH cur AS (
+  {SQL_CURATION.strip()}
+), per_source AS (
+  SELECT d.source,
+         count(*) AS n_docs,
+         sum(CASE WHEN NOT cur.is_canonical THEN 1 ELSE 0 END) AS n_dup,
+         sum(CASE WHEN cur.quality < {CURATION_MIN_QUALITY} THEN 1 ELSE 0 END)
+           AS n_lowq
+  FROM documents d
+  JOIN cur ON d.doc_id = cur.doc_id
+  GROUP BY d.source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       round(n_dup / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+       CAST(n_lowq AS BIGINT) AS n_lowq,
+       round(n_lowq / CAST(n_docs AS DOUBLE), 6) AS lowq_frac,
+       (n_dup * 100 > n_docs * {DOMAIN_MAX_DUP_PCT}
+        OR n_lowq * 100 > n_docs * {DOMAIN_MAX_LOWQ_PCT}) AS drop_domain
+FROM per_source
+"""
+
+
+# Corpus vocabulary analysis: exact top-K word n-grams per language —
+# the standard "what is the corpus made of" audit (boilerplate discovery,
+# tokenizer-vocabulary sanity, contamination triage).
+TOPK_NGRAM = 3
+TOPK_K = 10
+TOPK_SALTS = 16
+
+
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language top-K word 3-grams with deterministic
+    tie-breaking (count desc, gram asc). Corpus-level sibling of the
+    per-document repetition signals; the aggregate the reference's
+    recurring-furniture heuristic (C2, /root/reference/ocr/applyocr.py:
+    94-112) would read at corpus scope.
+
+    Scale shape (100 TB): a naive ``Window.partitionBy(lang)`` over the
+    gram counts puts an entire language — billions of distinct grams —
+    into ONE task: the same adversarial-skew shape as the hot duplicate
+    bucket. Instead, exact two-phase top-K: the salt is derived FROM the
+    gram (xxhash64 % TOPK_SALTS), so each gram's complete count lives in
+    exactly one (lang, salt) group; any gram in the global top-K is
+    necessarily in its group's local top-K (everything beating it locally
+    beats it globally), so ranking the ≤ K×SALTS survivors per language
+    is exact, and that final window sees at most K×SALTS rows per
+    language instead of the whole vocabulary. Gram counting itself is one
+    partial-agg'd shuffle on the high-cardinality (lang, gram) key.
+    The salt never leaves the plan, so the DuckDB twin is the plain
+    single-window formulation — same rows, engine-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    n = TOPK_NGRAM
+    words = docs.select("lang", F.split("text", " ").alias("w"))
+    grams = words.select(
+        "lang",
+        F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    )
+    counts = (
+        grams.select("lang", F.explode("gs").alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64("gram"), F.lit(TOPK_SALTS))
+    )
+    w_local = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    survivors = (
+        salted.withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= TOPK_K)
+        .drop("_salt", "_r")
+    )
+    w_final = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOPK_K)
+        .select(
+            "lang",
+            "gram",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_TOPK_NGRAMS = f"""
+WITH words AS (
+  SELECT lang, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT lang,
+         CASE WHEN len(w) >= {TOPK_NGRAM} THEN
+           list_transform(
+             range(1, len(w) - {TOPK_NGRAM - 2}),
+             i -> array_to_string(list_slice(w, i, i + {TOPK_NGRAM - 1}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM words
+), counts AS (
+  SELECT lang, g AS gram, count(*) AS c
+  FROM (SELECT lang, unnest(gs) AS g FROM grams)
+  GROUP BY lang, g
+), ranked AS (
+  SELECT lang, gram, CAST(c AS BIGINT) AS c,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY c DESC, gram ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT lang, gram, c, rank FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipeline queries (kernel-backed → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -2804,6 +2986,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION),
+    "source_domain_filter": (q_source_domain_filter, SQL_DOMAIN_FILTER),
+    "topk_ngrams": (q_topk_ngrams, SQL_TOPK_NGRAMS),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),

@@ -308,6 +308,7 @@ SF0001_SPOT = [
     "event_windows", "p7_downscale_budget", "corpus_curation",
     "stratified_sample", "dedup_band_stats", "boilerplate_strip",
     "decontaminate", "pack_sequences", "repetition_ratio",
+    "source_domain_filter", "topk_ngrams",
 ]
 
 
@@ -632,3 +633,82 @@ def test_repetition_ratio_signals(spark, tmp_path):
     assert not out[2].repetitive
     assert out[3].n_grams == 5
     assert out[3].top_gram_share == 0.6 and out[3].repetitive
+
+
+def test_source_domain_filter_decision(spark, tmp_path):
+    """Domain-level drop decision, pinned at the integer-arithmetic
+    boundary: a source with 2/10 duplicate docs (20% > 10%) drops, a
+    source with exactly 1/10 (10%, NOT > 10%) keeps, and a clean-dup
+    source drops on the low-quality axis alone (1/5 = 20% > 18%)."""
+    from swissgeol_ocr_spark.plans.queries import q_source_domain_filter
+
+    def doc(i, extra):
+        # ≥20 tokens, several stopwords, zero punctuation → quality ≥ 0.55
+        return (
+            f"the quick u{i}a and the u{i}b of a u{i}c in the u{i}d "
+            f"is to u{i}e and of the u{i}f {extra}"
+        )
+
+    rows = []
+    # srcA: docs 0..9, 8 and 9 byte-identical to 0 → n_dup=2 (keeper is 0)
+    for i in range(10):
+        t = doc(0, "zz") if i >= 8 else doc(i, f"a{i}")
+        rows.append((i, t, "en", "srcA"))
+    # srcB: docs 10..19, 19 identical to 10 → n_dup=1 (exactly 10%)
+    for i in range(10):
+        t = doc(10, "yy") if i == 9 else doc(10 + i, f"b{i}")
+        rows.append((10 + i, t, "en", "srcB"))
+    # srcC: 5 distinct docs, one pure-punctuation junk doc → n_lowq=1
+    for i in range(5):
+        t = "!!! ??? ;;; ... :::" if i == 4 else doc(20 + i, f"c{i}")
+        rows.append((20 + i, t, "en", "srcC"))
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.source: r for r in q_source_domain_filter(spark, sf).collect()}
+    assert out["srcA"].n_dup == 2 and out["srcA"].drop_domain
+    assert out["srcB"].n_dup == 1 and not out["srcB"].drop_domain
+    assert out["srcC"].n_dup == 0 and out["srcC"].n_lowq == 1
+    assert out["srcC"].drop_domain
+    assert out["srcA"].dup_frac == 0.2 and out["srcB"].dup_frac == 0.1
+
+
+def test_topk_ngrams_exact_vs_single_window(spark, tmp_path):
+    """The salted two-phase top-K must equal the naive single-window
+    top-K (computed here in plain python over the same gram counts),
+    including deterministic tie-breaks at the K boundary."""
+    from collections import Counter
+
+    from swissgeol_ocr_spark.plans.queries import (
+        TOPK_K,
+        TOPK_NGRAM,
+        q_topk_ngrams,
+    )
+
+    # 14 distinct grams per lang with a tie plateau spanning the K=10 cut
+    rows, did = [], 0
+    for lang in ("en", "de"):
+        for rep, word in [(5, "aa"), (4, "bb")] + [(2, f"w{j}") for j in range(12)]:
+            # one doc per gram: "<word> x y" repeated rep times, non-overlapping
+            text = " ".join(f"{lang}{word} x{did} y{did}" for _ in range(rep))
+            rows.append((did, text, lang, "s1"))
+            did += 1
+    sf = _write_documents(spark, tmp_path, rows)
+    got = [
+        (r.lang, r.gram, r.c, r.rank)
+        for r in q_topk_ngrams(spark, sf).collect()
+    ]
+
+    # naive reference: count grams, rank per lang by (c desc, gram asc)
+    counts = Counter()
+    for _, text, lang, _src in rows:
+        w = text.split(" ")
+        for i in range(len(w) - (TOPK_NGRAM - 1)):
+            counts[(lang, " ".join(w[i : i + TOPK_NGRAM]))] += 1
+    want = []
+    for lang in ("en", "de"):
+        per = sorted(
+            ((c, g) for (l, g), c in counts.items() if l == lang),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want += [(lang, g, c, r + 1) for r, (c, g) in enumerate(per[:TOPK_K])]
+    assert sorted(got) == sorted(want)
+    assert len(got) == 2 * TOPK_K
