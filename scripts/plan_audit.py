@@ -33,7 +33,8 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     for name in ("media_features", "dedup_simhash_pairs", "lsh_ann",
-                 "ivf_ann_trained", "dedup_band_stats", "corpus_curation"):
+                 "ivf_ann_trained", "dedup_band_stats", "corpus_curation",
+                 "dedup_lines", "pii_scrub"):
         fn, _ = QUERIES[name]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         fn(spark, SF_DIR).explain("formatted")

@@ -2672,6 +2672,220 @@ SELECT lang, gram, c, rank FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+# C4-style duplicate-line removal: the corpus analogue of the reference's
+# recurring-furniture strip (C2, /root/reference/ocr/applyocr.py:94-112) —
+# there a line repeated across pages of ONE document is furniture; at corpus
+# scope a line repeated across DOCUMENTS is boilerplate, and every
+# occurrence after the global first is dropped. Lines are the corpus's own
+# 8-word segmentation (sources/corpus.py — the same width the extraction
+# corpus renders), so the operator composes with the extraction family.
+DEDUP_LINE_WORDS = 8
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-line removal (C4 §2.2 shape): split every
+    document into 8-word lines, keep only the globally-first occurrence
+    of each distinct line (first = smallest (doc_id, line_idx)), and emit
+    one row per document with the surviving line count and the md5 of the
+    re-assembled (order-preserving) text.
+
+    Scale shape (100 TB): the first-occurrence decision is a groupBy on
+    the line fingerprint computing ``min(struct(doc_id, i))`` — a
+    COMBINABLE aggregate, so a boilerplate line repeated 100M times
+    collapses map-side and never concentrates in one reducer (the window
+    formulation ``row_number() over (partition by fp)`` would put every
+    occurrence of the hottest line into ONE task — exactly the skew this
+    avoids; cf. the hot-duplicate-bucket lesson in the banded dedup
+    family). The join back (lines ⨝ firsts on fp) is one-row-per-fp on
+    the build side, so a hot fp fans out 1→M and AQE's skew-join split
+    handles the probe side. Reassembly groups on doc_id — the uniform
+    natural key. Total: two combinable-agg shuffles + one equi-join, all
+    on hashed keys; only (doc_id, text) is ever scanned."""
+    docs = _t(spark, sf_dir, "documents")
+    n = DEDUP_LINE_WORDS
+    sized = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        "w",
+        F.floor((F.size("w") + (n - 1)) / n).cast("int").alias("n_lines"),
+    )
+    lines = (
+        sized.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_lines") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * n + 1, n)),
+                )
+            ).alias("i", "line"),
+        )
+        .withColumn("fp", F.md5("line"))
+    )
+    firsts = lines.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "i")).alias("first")
+    )
+    kept = lines.join(firsts, "fp").filter(
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("i") == F.col("first.i"))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_sort(F.collect_list(F.struct("i", "line"))).alias("_sorted"),
+    ).select(
+        "doc_id",
+        "n_kept",
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(F.col("_sorted"), lambda s: s["line"])
+            )
+        ).alias("kept_md5"),
+    )
+    return sized.select("doc_id", "n_lines").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
+SQL_DEDUP_LINES = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w,
+         CAST(floor((len(w) + {DEDUP_LINE_WORDS - 1}) / {DEDUP_LINE_WORDS}.0) AS INT) AS n_lines
+  FROM words
+), lines AS (
+  SELECT doc_id, CAST(t.i AS INT) AS i,
+         array_to_string(w[CAST(t.i*{DEDUP_LINE_WORDS}+1 AS INT) :
+                           CAST(t.i*{DEDUP_LINE_WORDS}+{DEDUP_LINE_WORDS} AS INT)], ' ') AS line
+  FROM sized, LATERAL unnest(range(0, n_lines)) AS t(i)
+), firsts AS (
+  SELECT doc_id, i, line,
+         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, i) AS rn
+  FROM lines
+), kept AS (
+  SELECT doc_id, i, line FROM firsts WHERE rn = 1
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         md5(string_agg(line, ' ' ORDER BY i)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_lines,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.kept_md5, md5('')) AS kept_md5
+FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# PII scrubbing: the synthetic corpus carries no contact strings, so —
+# following the decontaminate precedent of deterministic in-query
+# synthesis — a md5-free doc_id-stride rule plants emails / phone numbers /
+# IPv4s into a known subset on BOTH engine faces, and the scrub is graded
+# on the augmented text. Patterns are written once here and shared by the
+# Spark calls and the generated SQL (Java regex and DuckDB's RE2 agree on
+# this subset: ASCII classes, \\b word boundary, bounded repetition).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{2}-\d{2}-\d{4}-\d{2}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents table: plant deterministic
+    contact strings (email for doc_id%5==1, phone for doc_id%7==2, IPv4
+    for doc_id%11==3 — a doc can carry several), then scrub them with
+    anchored ASCII regexes in email→phone→IP order (emails first so the
+    IP pattern can't fire inside a dotted mail domain). Emits per-doc
+    redaction counts plus the md5 of the scrubbed text.
+
+    Scale shape (100 TB): a pure map-only plan — no exchange anywhere;
+    regexp_count/regexp_replace run JVM-side inside one
+    WholeStageCodegen span over a (doc_id, text) pruned scan, so the
+    operator scales embarrassingly with input splits and the only limit
+    is scan bandwidth. This is the deliberate contrast case to the
+    shuffle-bearing dedup family: .explain shows zero Exchange nodes."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit(" reach admin"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@geo.example.org for access"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 2,
+                F.concat(
+                    F.lit(" hotline +41-44-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                    F.lit("-22 open"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 3,
+                F.concat(
+                    F.lit(" origin 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                    F.lit(" logged"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("aug"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("aug", F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count("aug", F.lit(PII_IP_RE)).cast("int").alias("n_ips"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("aug", PII_EMAIL_RE, "<EMAIL>"),
+                    PII_PHONE_RE,
+                    "<PHONE>",
+                ),
+                PII_IP_RE,
+                "<IP>",
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 1
+              THEN ' reach admin' || CAST(doc_id AS VARCHAR) || '@geo.example.org for access'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 2
+              THEN ' hotline +41-44-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '-22 open'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 3
+              THEN ' origin 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged'
+              ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{PII_IP_RE}')) AS INT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipeline queries (kernel-backed → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -2988,6 +3202,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION),
     "source_domain_filter": (q_source_domain_filter, SQL_DOMAIN_FILTER),
     "topk_ngrams": (q_topk_ngrams, SQL_TOPK_NGRAMS),
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),

@@ -308,7 +308,7 @@ SF0001_SPOT = [
     "event_windows", "p7_downscale_budget", "corpus_curation",
     "stratified_sample", "dedup_band_stats", "boilerplate_strip",
     "decontaminate", "pack_sequences", "repetition_ratio",
-    "source_domain_filter", "topk_ngrams",
+    "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
 ]
 
 
@@ -583,6 +583,74 @@ def test_decontaminate_flags_planted_overlap(spark, tmp_path):
     assert out[11].contaminated and out[11].n_gram_hits == 1
     assert not out[12].contaminated and out[12].n_gram_hits == 0
     assert not out[13].contaminated
+
+
+def test_dedup_lines_first_occurrence_rule(spark, tmp_path):
+    """C4-style duplicate-line removal on a planted corpus: the global
+    first occurrence (smallest (doc_id, line_idx)) of every distinct
+    8-word line survives, later copies vanish — across documents AND
+    within one document — and a fully-duplicated document keeps zero
+    lines (kept_md5 = md5(''))."""
+    import hashlib
+
+    from swissgeol_ocr_spark.plans.queries import q_dedup_lines
+
+    la = "alpha beta gamma delta epsilon zeta eta theta"
+    lb = "one two three four five six seven eight"
+    lc = "red orange yellow green blue indigo violet crimson"
+    rows = [
+        (0, la + " " + lb, "en", "s1"),          # both lines first → kept
+        (1, lb + " " + la, "en", "s1"),          # both dups of doc 0 → empty
+        (2, la + " " + lc, "en", "s1"),          # one dup, one fresh
+        (3, lc + " " + lc, "en", "s1"),          # internal dup of a dup
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_dedup_lines(spark, sf).collect()}
+
+    def m(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0].n_lines == 2 and out[0].n_kept == 2
+    assert out[0].kept_md5 == m(la + " " + lb)
+    assert out[1].n_kept == 0 and out[1].kept_md5 == m("")
+    assert out[2].n_kept == 1 and out[2].kept_md5 == m(lc)
+    assert out[3].n_kept == 0 and out[3].kept_md5 == m("")
+
+
+def test_pii_scrub_plants_and_zero_shuffle(spark, tmp_path):
+    """PII scrub on crafted rows (ids chosen OFF every injection stride so
+    only the literal text matters): counts match re.findall and the
+    scrubbed hash matches a pure-python re.sub replay; and the plan is
+    map-only — zero Exchange nodes (the operator's 100 TB claim)."""
+    import hashlib
+    import re
+
+    from swissgeol_ocr_spark.plans.queries import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        q_pii_scrub,
+    )
+
+    rows = [  # 0 and 35 hit none of %5==1 / %7==2 / %11==3
+        (0, "write to jane.doe@corp.example.com or +41-22-5551-99 today", "en", "s1"),
+        (35, "server 192.168.7.250 and 10.1.2.3 pinged admin@a.ch twice", "en", "s1"),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_pii_scrub(spark, sf).collect()}
+    for doc_id, text, _, _ in rows:
+        scrub = re.sub(PII_EMAIL_RE, "<EMAIL>", text)
+        scrub = re.sub(PII_PHONE_RE, "<PHONE>", scrub)
+        scrub = re.sub(PII_IP_RE, "<IP>", scrub)
+        r = out[doc_id]
+        assert r.n_emails == len(re.findall(PII_EMAIL_RE, text))
+        assert r.n_phones == len(re.findall(PII_PHONE_RE, text))
+        assert r.n_ips == len(re.findall(PII_IP_RE, text))
+        assert r.scrubbed_md5 == hashlib.md5(scrub.encode()).hexdigest()
+    assert out[0].n_emails == 1 and out[0].n_phones == 1
+    assert out[35].n_ips == 2 and out[35].n_emails == 1
+    plan = q_pii_scrub(spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_pack_sequences_matches_greedy_reference(spark):
