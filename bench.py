@@ -132,14 +132,17 @@ def timed_extraction(spark, spans, has_mega: bool) -> float:
 
 
 def main_bench() -> None:
-    """Headline record: SPARK_GRAFT_BENCH_PASSES (default 3) full passes
+    """Headline record: SPARK_GRAFT_BENCH_PASSES (default 5) full passes
     interleaved across the WHOLE suite — headline queries then a timed
     extraction run per pass — keeping each query's minimum and the peak
     docs/sec. Same noise-robust protocol as --scaling: host throughput
     drifts ±15-30% over minutes on this shared box, so a single pass is a
     coin flip; interleaved best-of samples across host windows and two
-    back-to-back invocations agree within ~10%."""
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    back-to-back invocations agree within ~10%. (Default raised 3→5 in
+    round 5: back-to-back 3-pass invocations on the re-provisioned host
+    disagreed by 30% — 12.3s vs 16.0s — so the best-of needs more
+    samples per invocation to straddle a good host window.)"""
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     spark = build_spark(CPUS)
     try:
         spans, has_mega, n_docs = prepare_extraction(spark, SF_DIR)

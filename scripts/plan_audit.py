@@ -34,7 +34,8 @@ def main() -> None:
     ).getOrCreate()
     for name in ("media_features", "dedup_simhash_pairs", "lsh_ann",
                  "ivf_ann_trained", "dedup_band_stats", "corpus_curation",
-                 "dedup_lines", "pii_scrub"):
+                 "dedup_lines", "pii_scrub", "tfidf_topk",
+                 "temperature_mix"):
         fn, _ = QUERIES[name]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         fn(spark, SF_DIR).explain("formatted")

@@ -2886,6 +2886,190 @@ FROM aug
 """
 
 
+# tf-idf keyword extraction: per-document top-K terms by smoothed tf-idf
+# (the textbook sklearn-style smoothing ln((N+1)/(df+1)) + 1). Ranking is
+# over the ROUNDED score on both engine faces so the row_number tie-break
+# (score desc, word asc) is engine-deterministic.
+TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K keywords by smoothed tf-idf.
+
+    Scale shape (100 TB): tf is one combinable groupBy on (doc_id, word);
+    df re-aggregates the SAME tf relation on word — and the word-explosion
+    subtree (scan + split + explode + partial agg + shuffle, the dominant
+    cost) must be computed ONCE, not once per consumer. The trap: with a
+    bare ``count(*)`` df, Catalyst prunes the tf column from the df branch
+    (distinct-keys-only aggregate), the two (doc_id, word) exchanges stop
+    canonicalizing equal, and the corpus is exploded twice. Aggregating
+    ``sum(tf)`` (corpus frequency — a column the output wants anyway)
+    alongside df forces both branches to the byte-identical subtree, and
+    the EXECUTED plan shows one ReusedExchange (asserted in
+    tests/test_queries.py::test_tfidf_topk_ranks_rare_terms). The df side
+    is one row per distinct word, so the tf ⨝ df equi-join is 1→M on a
+    zipfian key ("the" joins every doc) — the hot-probe shape AQE's skew
+    split handles; the window formulation (``count(*) over (partition by
+    word)``) was rejected because it would put every occurrence of the
+    hottest word into ONE task. N is a scalar broadcast. The final top-K
+    window partitions on doc_id — bounded by per-document vocabulary,
+    never corpus-wide — and WindowGroupLimit prunes to K rows per doc
+    BEFORE the exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            "cf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("cf").cast("bigint").alias("cf"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_TFIDF_TOPK = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, word, tf, df, cf,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         CAST(cf AS BIGINT) AS cf, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, word ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, df, cf, score, rank FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+
+# Temperature-scaled source mixing (multinomial sampling with exponent
+# alpha < 1, the standard multilingual/multi-source rebalance): target
+# share t_s ∝ n_s^alpha, budget M = MIX_FRAC · N, per-source keep
+# probability q_s = min(1, t_s·M / n_s). The keep decision is the
+# md5-prefix basis-point pattern (stratified_sample precedent) — a pure
+# function of the row, so the mix is reproducible across engines, retries
+# and reruns, and the float q_s is quantized to integer basis points
+# BEFORE the compare (floor, never round: engine-portable).
+MIX_ALPHA = 0.7
+MIX_FRAC = 0.5
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling: upweights small sources
+    (alpha=0.7) under a global budget of MIX_FRAC·N docs.
+
+    Scale shape (100 TB): per-source counts are one combinable groupBy on
+    source (partial agg absorbs a giant domain map-side); the share
+    normalizer is a one-row broadcast; the per-source keep_bp dim is
+    #sources rows — broadcast-joined, so the corpus pass is map-only after
+    one small agg. No corpus-side shuffle beyond the source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    ns = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = ns.agg(
+        F.sum(F.pow(F.col("n_s").cast("double"), F.lit(MIX_ALPHA))).alias("z"),
+        F.sum("n_s").alias("n"),
+    )
+    q = (
+        ns.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    (F.pow(F.col("n_s").cast("double"), F.lit(MIX_ALPHA)) / F.col("z"))
+                    * (F.col("n") * F.lit(MIX_FRAC))
+                    / F.col("n_s"),
+                )
+                * 10000
+            )
+            .cast("int")
+            .alias("keep_bp"),
+        )
+    )
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(10000),
+    )
+    d = docs.select("doc_id", "source", u.alias("u"))
+    return (
+        d.join(F.broadcast(q), "source")
+        .filter(F.col("u") < F.col("keep_bp"))
+        .select("doc_id", "source", "u", "keep_bp")
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH ns AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(n_s, {MIX_ALPHA})) AS z, sum(n_s) AS n FROM ns
+), q AS (
+  SELECT source,
+         CAST(floor(least(1.0, (pow(n_s, {MIX_ALPHA}) / z)
+                               * (n * {MIX_FRAC}) / n_s) * 10000) AS INT)
+           AS keep_bp
+  FROM ns CROSS JOIN tot
+), hashed AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+              AS BIGINT) % 10000 AS u
+  FROM documents
+)
+SELECT h.doc_id, h.source, h.u, q.keep_bp
+FROM hashed h JOIN q USING (source)
+WHERE h.u < q.keep_bp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipeline queries (kernel-backed → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -3204,6 +3388,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_ngrams": (q_topk_ngrams, SQL_TOPK_NGRAMS),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),
     "extract_words": (q_extract_words, SQL_EXTRACT_WORDS),

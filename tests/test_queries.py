@@ -309,6 +309,7 @@ SF0001_SPOT = [
     "stratified_sample", "dedup_band_stats", "boilerplate_strip",
     "decontaminate", "pack_sequences", "repetition_ratio",
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
+    "tfidf_topk", "temperature_mix",
 ]
 
 
@@ -651,6 +652,91 @@ def test_pii_scrub_plants_and_zero_shuffle(spark, tmp_path):
     assert out[35].n_ips == 2 and out[35].n_emails == 1
     plan = q_pii_scrub(spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_tfidf_topk_ranks_rare_terms(spark, tmp_path):
+    """tf-idf on a planted 3-doc corpus: scores match a pure-python
+    replay of the smoothed formula, a high-tf rare term outranks a
+    corpus-wide term, ranks are contiguous from 1 with the
+    (score desc, word asc) tie-break — and the EXECUTED plan reuses the
+    word-explosion exchange (one ReusedExchange: the tf subtree is
+    computed once for both the tf and df consumers)."""
+    import math
+
+    from swissgeol_ocr_spark.plans.queries import q_tfidf_topk
+
+    rows = [
+        (0, "apple apple apple banana", "en", "s1"),
+        (1, "apple cherry cherry date date", "en", "s1"),
+        (2, "apple banana fig fig fig fig", "en", "s1"),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    res = q_tfidf_topk(spark, sf)
+    out = res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan  # the count-pruning trap stays fixed
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc in by_doc.values():
+        doc.sort(key=lambda r: r.rank)
+        assert [r.rank for r in doc] == list(range(1, len(doc) + 1))
+
+    def score(tf, df, n=3):
+        return round(tf * (math.log((n + 1.0) / (df + 1.0)) + 1.0), 6)
+
+    d0 = by_doc[0]
+    assert (d0[0].word, d0[0].tf, d0[0].df, d0[0].cf) == ("apple", 3, 3, 5)
+    assert d0[0].score == score(3, 3) == 3.0
+    assert (d0[1].word, d0[1].score) == ("banana", score(1, 2))
+    d2 = by_doc[2]  # rare 'fig' (df=1, tf=4) dominates ubiquitous 'apple'
+    assert [r.word for r in d2] == ["fig", "banana", "apple"]
+    assert d2[0].score == score(4, 1) and d2[0].cf == 4
+
+
+def test_temperature_mix_upweights_small_sources(spark, tmp_path):
+    """Temperature mixing on a planted skewed corpus (12-doc vs 2-doc
+    source): keep_bp matches a pure-python replay of
+    floor(min(1, (n_s^a/Σ)·(N·frac)/n_s)·10000), the small source gets a
+    strictly higher keep rate, and the kept set equals the md5-replay."""
+    import hashlib
+    import math
+
+    from swissgeol_ocr_spark.plans.queries import (
+        MIX_ALPHA,
+        MIX_FRAC,
+        q_temperature_mix,
+    )
+
+    rows = [(i, f"word{i} filler text", "en", "big") for i in range(12)]
+    rows += [(100, "rare source one", "en", "small"),
+             (101, "rare source two", "en", "small")]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = q_temperature_mix(spark, sf).collect()
+
+    n = {"big": 12, "small": 2}
+    z = sum(math.pow(v, MIX_ALPHA) for v in n.values())
+    total = sum(n.values())
+    bp = {
+        s: math.floor(
+            min(1.0, (math.pow(v, MIX_ALPHA) / z) * (total * MIX_FRAC) / v)
+            * 10000
+        )
+        for s, v in n.items()
+    }
+    assert bp["small"] > bp["big"]
+
+    def u(doc_id):
+        return int(hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:8], 16) % 10000
+
+    expect = {
+        (doc_id, src)
+        for doc_id, _, _, src in rows
+        if u(doc_id) < bp[src]
+    }
+    assert {(r.doc_id, r.source) for r in out} == expect
+    for r in out:
+        assert r.keep_bp == bp[r.source] and r.u == u(r.doc_id)
 
 
 def test_pack_sequences_matches_greedy_reference(spark):
