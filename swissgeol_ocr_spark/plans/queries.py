@@ -25,6 +25,7 @@ functions/simsearch.py.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2985,6 +2986,78 @@ SELECT doc_id, word, tf, df, cf, score, rank FROM ranked WHERE rank <= {TFIDF_K}
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM quality score (the KenLM-perplexity-filter
+    analogue with the corpus as its own language model): train unigram
+    frequencies over the whole corpus in-query, score each document by
+    its token-weighted mean log-probability, and bucket it into integer
+    bits-per-token (``floor(-mean_lp / ln 2)``) — the coarse perplexity
+    band a curation pipeline thresholds on. Reference analogue: the
+    two-tier confidence filter (C5, /root/reference/ocr/textract/
+    textract.py:61-72) — a per-unit quality scalar gating what survives —
+    lifted from OCR confidence to corpus statistics.
+
+    Scale shape (100 TB): identical to the audited tfidf_topk subtree —
+    ONE combinable groupBy on (doc_id, word) feeds both the corpus
+    frequency rollup and the scoring join, and both branches aggregate
+    the same columns so the exchanges canonicalize equal and the executed
+    plan shows a ReusedExchange (the word-explosion scan runs once; the
+    bare-count trap documented there applies here too). The vocabulary
+    side of the scoring join is one row per distinct word (zipfian probe
+    → AQE skew split); the corpus token total is a one-row broadcast. A
+    window over ``partition by word`` was rejected for the same
+    hottest-word-in-one-task reason as in tfidf."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("word").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    total = cf.agg(F.sum("cf").alias("total_tokens"))
+    scored = (
+        tf.join(cf.select("word", "cf"), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cf") / F.col("total_tokens")))
+                / F.sum("tf")
+            ).alias("_mean_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("_mean_lp", 6).alias("mean_lp"),
+        F.floor(-F.round("_mean_lp", 6) / math.log(2.0))
+        .cast("int")
+        .alias("bits_bucket"),
+    )
+
+
+SQL_LM_SCORE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), cf AS (
+  SELECT word, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY word
+), total AS (
+  SELECT sum(cf) AS total_tokens FROM cf
+), scored AS (
+  SELECT doc_id, sum(tf) AS n_tokens,
+         sum(tf * ln(cf / total_tokens)) / sum(tf) AS _mean_lp
+  FROM tf JOIN cf USING (word) CROSS JOIN total
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(_mean_lp, 6) AS mean_lp,
+       CAST(floor(-round(_mean_lp, 6) / ln(2.0)) AS INT) AS bits_bucket
+FROM scored
+"""
+
+
 # Temperature-scaled source mixing (multinomial sampling with exponent
 # alpha < 1, the standard multilingual/multi-source rebalance): target
 # share t_s ∝ n_s^alpha, budget M = MIX_FRAC · N, per-source keep
@@ -3389,6 +3462,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),

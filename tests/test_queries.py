@@ -309,7 +309,7 @@ SF0001_SPOT = [
     "stratified_sample", "dedup_band_stats", "boilerplate_strip",
     "decontaminate", "pack_sequences", "repetition_ratio",
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
-    "tfidf_topk", "temperature_mix",
+    "tfidf_topk", "temperature_mix", "lm_score",
 ]
 
 
@@ -866,3 +866,105 @@ def test_topk_ngrams_exact_vs_single_window(spark, tmp_path):
         want += [(lang, g, c, r + 1) for r, (c, g) in enumerate(per[:TOPK_K])]
     assert sorted(got) == sorted(want)
     assert len(got) == 2 * TOPK_K
+
+
+def test_dedup_lines_differential_random_corpora(spark, tmp_path):
+    """Seeded randomized differential test for dedup_lines: three
+    adversarial corpora (tiny vocabulary → heavy cross-doc line collisions,
+    ragged word counts → partial trailing lines, and a clone block) are
+    replayed through an independent pure-python first-occurrence twin and
+    compared row-for-row (n_lines, n_kept, kept_md5). One Spark run covers
+    all seeds; the twin shares no code with the query."""
+    import hashlib
+    import random
+
+    from swissgeol_ocr_spark.plans.queries import DEDUP_LINE_WORDS, q_dedup_lines
+
+    n = DEDUP_LINE_WORDS
+    vocab = [f"w{i}" for i in range(6)]  # 6^8 grams but lines repeat via reuse
+    rows = []
+    doc_id = 0
+    for seed in (11, 23, 47):
+        rnd = random.Random(seed)
+        pool = []  # previously-emitted lines, re-planted to force dups
+        for _ in range(30):
+            if pool and rnd.random() < 0.5:
+                k = rnd.randrange(1, 4)
+                words = [w for _ in range(k) for w in rnd.choice(pool)]
+                tail = rnd.randrange(0, n)  # ragged trailing partial line
+                words += [rnd.choice(vocab) for _ in range(tail)]
+            else:
+                words = [rnd.choice(vocab) for _ in range(rnd.randrange(0, 3 * n))]
+            for i in range(0, len(words), n):
+                pool.append(tuple(words[i : i + n]))
+            rows.append((doc_id, " ".join(words), "en", "s1"))
+            doc_id += 1
+    rows += [(doc_id + j, rows[0][1], "en", "s1") for j in range(5)]  # clones
+
+    # pure-python twin: global first occurrence by (doc_id, line_idx)
+    first = {}
+    for d, text, _l, _s in sorted(rows):
+        w = text.split(" ")
+        for i in range(0, max(len(w), 1), n):
+            line = " ".join(w[i : i + n])
+            first.setdefault(line, (d, i // n))
+    want = {}
+    for d, text, _l, _s in rows:
+        w = text.split(" ")
+        kept = []
+        n_lines = 0
+        for i in range(0, max(len(w), 1), n):
+            line = " ".join(w[i : i + n])
+            n_lines += 1
+            if first[line] == (d, i // n):
+                kept.append(line)
+        want[d] = (
+            n_lines,
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.kept_md5)
+        for r in q_dedup_lines(spark, sf).collect()
+    }
+    assert got == want
+    # sanity: the corpora actually exercised both paths
+    assert any(v[1] < v[0] for v in want.values())  # dups removed somewhere
+    assert any(v[1] == v[0] and v[0] > 1 for v in want.values())  # full keeps
+
+
+def test_lm_score_unigram_replay(spark, tmp_path):
+    """Unigram-LM scoring on a planted corpus: mean log-prob and the
+    bits-per-token bucket match a pure-python replay of the self-trained
+    unigram model; a common-word document scores strictly higher (less
+    negative) than a rare-word one; and the EXECUTED plan reuses the
+    word-explosion exchange (the tf subtree feeds both the vocabulary
+    rollup and the scoring join exactly once)."""
+    import math
+    from collections import Counter
+
+    from swissgeol_ocr_spark.plans.queries import q_lm_score
+
+    rows = [
+        (0, "the the the cat sat on the mat", "en", "s1"),
+        (1, "the cat sat on a warm red mat", "en", "s1"),
+        (2, "zyx qwv plk mnb vcx asd fgh jkl", "en", "s1"),  # all-rare
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    res = q_lm_score(spark, sf)
+    out = {r.doc_id: r for r in res.collect()}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan  # tf computed once for both consumers
+
+    cf = Counter(w for _, t, _l, _s in rows for w in t.split(" "))
+    total = sum(cf.values())
+    for d, text, _l, _s in rows:
+        toks = text.split(" ")
+        mean_lp = sum(math.log(cf[w] / total) for w in toks) / len(toks)
+        assert out[d].n_tokens == len(toks)
+        assert out[d].mean_lp == round(mean_lp, 6)
+        assert out[d].bits_bucket == math.floor(-round(mean_lp, 6) / math.log(2.0))
+    # frequent vocabulary → higher (less negative) mean log-prob
+    assert out[0].mean_lp > out[2].mean_lp and out[1].mean_lp > out[2].mean_lp
