@@ -35,7 +35,7 @@ def main() -> None:
     for name in ("media_features", "dedup_simhash_pairs", "lsh_ann",
                  "ivf_ann_trained", "dedup_band_stats", "corpus_curation",
                  "dedup_lines", "pii_scrub", "tfidf_topk",
-                 "temperature_mix", "lm_score"):
+                 "temperature_mix", "lm_score", "dedup_substrings"):
         fn, _ = QUERIES[name]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         fn(spark, SF_DIR).explain("formatted")

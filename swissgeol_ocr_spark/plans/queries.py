@@ -2780,6 +2780,162 @@ FROM sized s LEFT JOIN agg a USING (doc_id)
 """
 
 
+# Exact-substring dedup (sliding-window n-gram marking): the
+# alignment-insensitive complement to q_dedup_lines. dedup_lines cuts the
+# corpus on a fixed 8-word grid, so a duplicated passage that starts
+# mid-line is invisible to it; here EVERY w-word window is fingerprinted,
+# any occurrence other than the global first of a repeated window marks
+# its token range as duplicated, and overlapping marks merge per document
+# (the distributed adaptation of suffix-array substring dedup — the
+# suffix array itself is not expressible as a dataflow, the sliding-gram
+# cover is the standard approximation). Reference analogue: the T6
+# cross-tile 60%-containment dedup (/root/reference/ocr/textract/
+# textract.py:120-131) — drop text already covered by an overlapping
+# earlier extraction — lifted from tile geometry to corpus substrings.
+SUBSTR_GRAM_WORDS = 10
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact-substring duplication marking: fingerprint
+    every 10-word window, keep the global first occurrence (smallest
+    (doc_id, start)) of each repeated window, mark every other
+    occurrence's token interval, merge overlapping intervals per doc, and
+    emit per-document coverage stats — n_tokens, n_dup_tokens (union of
+    marked intervals), dup_frac_ppm (integer parts-per-million — floor'd
+    BIGINT arithmetic on both engine faces, no float crosses the
+    boundary), and n_islands (merged runs).
+
+    Scale shape (100 TB): the gram relation is ~one row per corpus token
+    carrying only (doc_id, start, md5) — never the gram text. The
+    first-occurrence decision is the same COMBINABLE
+    ``count + min(struct(doc_id, start))`` groupBy on the fingerprint as
+    dedup_lines (a boilerplate passage repeated 100M times collapses
+    map-side; a per-fp window would funnel it into one task). The
+    mark join is 1-row-per-fp on the build side (AQE skew split covers a
+    hot probe fp). Interval merging is a window over (doc_id, start) —
+    bounded by tokens-per-document, never corpus-wide — and the stats
+    groupBy reuses the window's doc_id partitioning, so merging costs ONE
+    Exchange. Docs shorter than the window width have no grams and are
+    restored by the left join with zero coverage."""
+    docs = _t(spark, sf_dir, "documents")
+    n = SUBSTR_GRAM_WORDS
+    sized = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n_tokens"),
+        F.greatest(F.size("w") - (n - 1), F.lit(0)).alias("n_grams"),
+    )
+    grams = (
+        sized.filter(F.col("n_grams") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_grams") - 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, n))),
+                )
+            ).alias("start", "fp"),
+        )
+    )
+    firsts = grams.groupBy("fp").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "start")).alias("first"),
+    )
+    marked = grams.join(firsts, "fp").filter(
+        (F.col("occ") >= 2)
+        & ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("start") == F.col("first.start"))
+        )
+    )
+    w_prev = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_end = F.max(F.col("start") + n).over(w_prev)
+    covered = marked.select(
+        "doc_id",
+        (
+            F.col("start") + n
+            - F.greatest(F.col("start"), F.coalesce(prev_end, F.col("start")))
+        ).alias("inc"),
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    stats = covered.groupBy("doc_id").agg(
+        F.sum("inc").alias("n_dup_tokens"),
+        F.sum("new_island").alias("n_islands"),
+    )
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_tokens"),
+            F.floor(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                * F.lit(1000000.0)
+                / F.col("n_tokens")
+            )
+            .cast("bigint")
+            .alias("dup_frac_ppm"),
+            F.coalesce(F.col("n_islands"), F.lit(0)).cast("int").alias("n_islands"),
+        )
+    )
+
+
+SQL_DEDUP_SUBSTRINGS = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n_tokens,
+         greatest(len(w) - {SUBSTR_GRAM_WORDS - 1}, 0) AS n_grams
+  FROM words
+), grams AS (
+  SELECT doc_id, CAST(t.i AS INT) AS start,
+         md5(array_to_string(w[CAST(t.i+1 AS INT) :
+                               CAST(t.i+{SUBSTR_GRAM_WORDS} AS INT)], ' ')) AS fp
+  FROM sized, LATERAL unnest(range(0, n_grams)) AS t(i)
+  WHERE n_grams > 0
+), marked AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn,
+           count(*) OVER (PARTITION BY fp) AS occ
+    FROM grams)
+  WHERE occ >= 2 AND rn > 1
+), covered AS (
+  SELECT doc_id,
+         start + {SUBSTR_GRAM_WORDS}
+           - greatest(start, coalesce(max(start + {SUBSTR_GRAM_WORDS}) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), start)) AS inc,
+         CASE WHEN max(start + {SUBSTR_GRAM_WORDS}) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start > max(start + {SUBSTR_GRAM_WORDS}) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked
+), stats AS (
+  SELECT doc_id, sum(inc) AS n_dup_tokens, sum(new_island) AS n_islands
+  FROM covered GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(st.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(floor(coalesce(st.n_dup_tokens, 0) * 1000000.0 / s.n_tokens) AS BIGINT)
+         AS dup_frac_ppm,
+       CAST(coalesce(st.n_islands, 0) AS INT) AS n_islands
+FROM sized s LEFT JOIN stats st USING (doc_id)
+"""
+
+
 # PII scrubbing: the synthetic corpus carries no contact strings, so —
 # following the decontaminate precedent of deterministic in-query
 # synthesis — a md5-free doc_id-stride rule plants emails / phone numbers /
@@ -3463,6 +3619,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),

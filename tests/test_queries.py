@@ -309,7 +309,7 @@ SF0001_SPOT = [
     "stratified_sample", "dedup_band_stats", "boilerplate_strip",
     "decontaminate", "pack_sequences", "repetition_ratio",
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
-    "tfidf_topk", "temperature_mix", "lm_score",
+    "tfidf_topk", "temperature_mix", "lm_score", "dedup_substrings",
 ]
 
 
@@ -968,3 +968,80 @@ def test_lm_score_unigram_replay(spark, tmp_path):
         assert out[d].bits_bucket == math.floor(-round(mean_lp, 6) / math.log(2.0))
     # frequent vocabulary → higher (less negative) mean log-prob
     assert out[0].mean_lp > out[2].mean_lp and out[1].mean_lp > out[2].mean_lp
+
+
+def test_dedup_substrings_alignment_insensitive(spark, tmp_path):
+    """Sliding-window substring dedup on planted docs: a passage repeated
+    at a DIFFERENT word offset is caught (the fixed-grid dedup_lines
+    misses it by construction), the global first occurrence stays
+    unmarked, overlapping marks merge into islands, a verbatim clone is
+    100% covered, and a short doc (< window width) has zero grams. Every
+    row is cross-checked against a pure-python replay of the
+    mark-and-merge semantics."""
+    import random
+
+    from swissgeol_ocr_spark.plans.queries import (
+        SUBSTR_GRAM_WORDS,
+        q_dedup_substrings,
+    )
+
+    n = SUBSTR_GRAM_WORDS
+    rnd = random.Random(7)
+    passage = [f"p{i}" for i in range(n + 5)]  # 15 words → 6 grams
+    filler = lambda k: [f"f{rnd.randrange(10**6)}" for _ in range(k)]
+    d0 = filler(4) + passage + filler(3)        # first occurrence (offset 4)
+    d1 = filler(9) + passage + filler(6)        # same passage, offset 9
+    d2 = list(d0)                               # verbatim clone
+    d3 = filler(n - 1)                          # too short: zero grams
+    d4 = filler(20)                             # unique: zero marked
+    rows = [
+        (0, " ".join(d0), "en", "s1"),
+        (1, " ".join(d1), "en", "s1"),
+        (2, " ".join(d2), "en", "s1"),
+        (3, " ".join(d3), "en", "s1"),
+        (4, " ".join(d4), "en", "s1"),
+    ]
+
+    # pure-python twin: global-first marking + interval union
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    toks = {d: t.split(" ") for d, t, _l, _s in rows}
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(len(w) - n + 1):
+            occs[" ".join(w[i : i + n])].append((d, i))
+    want = {}
+    for d, w in toks.items():
+        marks = sorted(
+            i
+            for g, lst in occs.items()
+            for (dd, i) in lst
+            if dd == d and len(lst) >= 2 and (dd, i) != min(lst)
+        )
+        covered, end, islands = 0, -1, 0
+        for i in marks:
+            if i > end:  # strict: start == prev_end is contiguous coverage
+                islands += 1
+            covered += i + n - max(i, end if end > i else i)
+            end = max(end, i + n)
+        want[d] = (
+            len(w),
+            covered,
+            covered * 1000000 // len(w),
+            islands,
+        )
+
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_frac_ppm, r.n_islands)
+        for r in q_dedup_substrings(spark, sf).collect()
+    }
+    assert got == want
+    # the semantics the test exists for:
+    assert want[1][1] == n + 5          # shifted passage fully marked in d1
+    assert want[0][1] == 0              # global first occurrence unmarked
+    assert want[2][1] == want[2][0]     # clone 100% covered, one island
+    assert want[2][3] == 1
+    assert want[3] == (n - 1, 0, 0, 0)  # short doc: no grams, no marks
+    assert want[4][1] == 0
