@@ -35,7 +35,8 @@ def main() -> None:
     for name in ("media_features", "dedup_simhash_pairs", "lsh_ann",
                  "ivf_ann_trained", "dedup_band_stats", "corpus_curation",
                  "dedup_lines", "pii_scrub", "tfidf_topk",
-                 "temperature_mix", "lm_score", "dedup_substrings"):
+                 "temperature_mix", "lm_score", "dedup_substrings",
+                 "corpus_stats"):
         fn, _ = QUERIES[name]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         fn(spark, SF_DIR).explain("formatted")

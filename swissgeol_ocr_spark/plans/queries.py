@@ -2337,21 +2337,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds where Spark truncates, the documented trap)."""
     docs = _t(spark, sf_dir, "documents")
     counts = textops.token_counts(F.col("text"))
-    d = docs.select(
-        "doc_id",
-        counts["ws_tokens"].alias("ws_tokens"),
-        F.floor(F.col("doc_id") / F.lit(PACK_BLOCK_DOCS)).cast("bigint").alias("block"),
+    return _pack_assign(
+        docs.select("doc_id", counts["ws_tokens"].alias("ws_tokens"))
+    )
+
+
+def _pack_assign(d: DataFrame) -> DataFrame:
+    """Greedy block-local sequence packing over any (doc_id, ws_tokens, …)
+    relation — the shared kernel of q_pack_sequences (whole corpus) and
+    q_training_mix (mixed curation survivors). Blocks key on
+    doc_id // PACK_BLOCK_DOCS even when the input is a filtered subset:
+    blocks then hold fewer docs (never more), so the bounded-window
+    guarantee is preserved and the assignment for a given keep-set is
+    deterministic under resume."""
+    d = d.withColumn(
+        "block",
+        F.floor(F.col("doc_id") / F.lit(PACK_BLOCK_DOCS)).cast("bigint"),
     )
     w = Window.partitionBy("block").orderBy("doc_id")
     start = (F.sum("ws_tokens").over(w) - F.col("ws_tokens")).alias("_start")
-    d = d.select("doc_id", "ws_tokens", "block", start)
+    d = d.select(*d.columns, start)
     seq_in_block = F.floor(F.col("_start") / F.lit(float(PACK_SEQ_TOKENS))).cast(
         "bigint"
     )
     return d.select(
-        "doc_id",
-        "ws_tokens",
-        "block",
+        *[c for c in d.columns if c != "_start"],
         (F.col("block") * 1_000_000 + seq_in_block).alias("seq_id"),
         (F.col("_start") - seq_in_block * PACK_SEQ_TOKENS).alias("tok_offset"),
     )
@@ -3236,6 +3246,14 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     #sources rows — broadcast-joined, so the corpus pass is map-only after
     one small agg. No corpus-side shuffle beyond the source rollup."""
     docs = _t(spark, sf_dir, "documents")
+    return _temperature_keep(docs).select("doc_id", "source", "u", "keep_bp")
+
+
+def _temperature_keep(docs: DataFrame) -> DataFrame:
+    """Temperature-mix keep filter over any (doc_id, source, …) relation:
+    returns the surviving rows with the ``u`` draw and per-source
+    ``keep_bp`` attached. Shared by q_temperature_mix (whole corpus) and
+    q_training_mix (curation survivors)."""
     ns = docs.groupBy("source").agg(F.count("*").alias("n_s"))
     tot = ns.agg(
         F.sum(F.pow(F.col("n_s").cast("double"), F.lit(MIX_ALPHA))).alias("z"),
@@ -3268,11 +3286,10 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
         F.lit(10000),
     )
-    d = docs.select("doc_id", "source", u.alias("u"))
     return (
-        d.join(F.broadcast(q), "source")
+        docs.withColumn("u", u)
+        .join(F.broadcast(q), "source")
         .filter(F.col("u") < F.col("keep_bp"))
-        .select("doc_id", "source", "u", "keep_bp")
     )
 
 
@@ -3296,6 +3313,128 @@ WITH ns AS (
 SELECT h.doc_id, h.source, h.u, q.keep_bp
 FROM hashed h JOIN q USING (source)
 WHERE h.u < q.keep_bp
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus shape statistics: one row per (source,
+    length-bucket) with document count and token mass, where the bucket
+    is the log2 band of the whitespace token count computed EXACTLY as
+    the bit length of the integer (``length(bin(t))`` on both engine
+    faces) — ``floor(log2(t))`` through doubles can disagree across
+    engines at exact powers of two, a bit-string length cannot. The
+    operational dashboard a 100 TB ingest watches: where the token mass
+    sits per source, and whether a source's distribution drifts.
+
+    Scale shape: one combinable groupBy on (source, bucket) — partial
+    aggregation absorbs any giant source map-side; the scan is pruned to
+    (source, text). Zero joins, zero windows."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            "source",
+            F.length(F.bin(t.cast("bigint"))).cast("int").alias("len_bucket"),
+            t.alias("_t"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_t").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = """
+WITH toks AS (
+  SELECT source, len(string_split(text, ' ')) AS t FROM documents
+)
+SELECT source, CAST(length(bin(t)) AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS sum_tokens
+FROM toks GROUP BY source, length(bin(t))
+"""
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data assembly a corpus job materializes:
+    curation keep-set (near-dup canonicality ∧ quality ∧ token floor)
+    → temperature-scaled source rebalance over the SURVIVORS (the mix
+    shares are recomputed post-curation — rebalancing the raw corpus
+    would re-inflate sources whose bulk was just deduplicated away)
+    → block-local greedy sequence packing of the mixed set. One row per
+    packed document: its source, token count, and (block, seq_id,
+    tok_offset) placement.
+
+    This is deliberately a COMPOSITION of the three audited operators —
+    q_corpus_curation's signal scan + banded LSH, _temperature_keep's
+    map-only basis-point filter, _pack_assign's bounded block window —
+    not a re-implementation; every stage keeps its own oracle and plan
+    audit, and this query pins that they compose without a seam.
+
+    Scale shape (100 TB): the curation subtree is unchanged (audited in
+    PLANS.md); the survivors join is one doc_id-keyed shuffle; the mix
+    adds one combinable source rollup + a broadcast dim (corpus pass
+    stays map-only); packing adds the single bounded block Exchange.
+    The slim survivors relation (doc_id, source, ws_tokens) is
+    ``localCheckpoint(eager=False)``-ed: downstream the mix consumes it
+    TWICE (source rollup + keep probe), and without the lineage cut Spark
+    re-evaluates the whole curation/LSH subtree per consumer (measured
+    25 corpus scans vs 9 for curation alone — the multi-consumer
+    re-evaluation documented for cap_band_buckets). The checkpoint is the
+    single-query stand-in for what the deployment pipeline does anyway —
+    materialize the curation decision at a stage boundary with a resume
+    manifest (plans/pipeline.py) — and follows the q_dedup_clusters
+    precedent for lineage cuts inside query construction. Packing keys
+    blocks on doc_id // PACK_BLOCK_DOCS of the ORIGINAL ids, so a
+    filtered block holds fewer docs (never more) and the placement of a
+    given keep-set is deterministic under resume."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        q_corpus_curation(spark, sf_dir)
+        .filter("keep")
+        .select("doc_id", F.col("ws_tokens").cast("bigint").alias("ws_tokens"))
+    )
+    survivors = kept.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
+        eager=False
+    )
+    mixed = _temperature_keep(survivors)
+    return _pack_assign(mixed.select("doc_id", "source", "ws_tokens"))
+
+
+SQL_TRAINING_MIX = f"""
+WITH survivors AS (
+  SELECT c.doc_id, d.source, CAST(c.ws_tokens AS BIGINT) AS ws_tokens
+  FROM ({SQL_CURATION.strip()}) c JOIN documents d USING (doc_id)
+  WHERE c.keep
+), ns AS (
+  SELECT source, count(*) AS n_s FROM survivors GROUP BY source
+), tot AS (
+  SELECT sum(pow(n_s, {MIX_ALPHA})) AS z, sum(n_s) AS n FROM ns
+), q AS (
+  SELECT source,
+         CAST(floor(least(1.0, (pow(n_s, {MIX_ALPHA}) / z)
+                               * (n * {MIX_FRAC}) / n_s) * 10000) AS INT)
+           AS keep_bp
+  FROM ns CROSS JOIN tot
+), mixed AS (
+  SELECT s.doc_id, s.source, s.ws_tokens
+  FROM survivors s JOIN q USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':mix'), 1, 8)
+             AS BIGINT) % 10000 < q.keep_bp
+), cum AS (
+  SELECT doc_id, source, ws_tokens, doc_id // {PACK_BLOCK_DOCS} AS block,
+         sum(ws_tokens) OVER (PARTITION BY doc_id // {PACK_BLOCK_DOCS}
+                              ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - ws_tokens AS start
+  FROM mixed
+)
+SELECT doc_id, source, ws_tokens, block,
+       block * 1000000
+         + CAST(floor(start / {PACK_SEQ_TOKENS}.0) AS BIGINT) AS seq_id,
+       start - CAST(floor(start / {PACK_SEQ_TOKENS}.0) AS BIGINT)
+         * {PACK_SEQ_TOKENS} AS tok_offset
+FROM cum
 """
 
 
@@ -3620,6 +3759,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
+    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),

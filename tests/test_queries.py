@@ -310,6 +310,7 @@ SF0001_SPOT = [
     "decontaminate", "pack_sequences", "repetition_ratio",
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
     "tfidf_topk", "temperature_mix", "lm_score", "dedup_substrings",
+    "training_mix", "corpus_stats",
 ]
 
 
@@ -1045,3 +1046,105 @@ def test_dedup_substrings_alignment_insensitive(spark, tmp_path):
     assert want[2][3] == 1
     assert want[3] == (n - 1, 0, 0, 0)  # short doc: no grams, no marks
     assert want[4][1] == 0
+
+
+def test_training_mix_composition_replay(spark):
+    """The end-to-end training assembly equals an independent pure-python
+    replay of its three stages chained on the real sf0.01 corpus:
+    curation keep-set (taken from the separately-oracled corpus_curation
+    output) → temperature mix recomputed over the SURVIVORS (not the raw
+    corpus — the post-curation shares differ and that difference is the
+    point) → block-local greedy packing. Also pins the seams: every output
+    doc is a curation keep, and at least one source's survivor keep_bp
+    differs from the whole-corpus mix (proof the shares were recomputed)."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from swissgeol_ocr_spark.plans.queries import (
+        MIX_ALPHA,
+        MIX_FRAC,
+        PACK_BLOCK_DOCS,
+        PACK_SEQ_TOKENS,
+        q_corpus_curation,
+        q_temperature_mix,
+        q_training_mix,
+    )
+
+    cur = {r.doc_id: r for r in q_corpus_curation(spark, SF_DIR).collect()}
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    survivors = sorted(d for d, r in cur.items() if r.keep)
+
+    ns = Counter(src[d] for d in survivors)
+    z = sum(c**MIX_ALPHA for c in ns.values())
+    n = sum(ns.values())
+    keep_bp = {
+        s: math.floor(min(1.0, (c**MIX_ALPHA / z) * (n * MIX_FRAC) / c) * 10000)
+        for s, c in ns.items()
+    }
+
+    def u(d):
+        return int(hashlib.md5(f"{d}:mix".encode()).hexdigest()[:8], 16) % 10000
+
+    mixed = [d for d in survivors if u(d) < keep_bp[src[d]]]
+
+    blocks = defaultdict(list)
+    for d in mixed:
+        blocks[d // PACK_BLOCK_DOCS].append(d)
+    want = {}
+    for b, docs in blocks.items():
+        start = 0
+        for d in sorted(docs):
+            t = cur[d].ws_tokens
+            seq = start // PACK_SEQ_TOKENS
+            want[d] = (src[d], t, b, b * 1_000_000 + seq,
+                       start - seq * PACK_SEQ_TOKENS)
+            start += t
+
+    got = {
+        r.doc_id: (r.source, r.ws_tokens, r.block, r.seq_id, r.tok_offset)
+        for r in q_training_mix(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert set(got) <= set(survivors)
+    # the recomputed shares actually differ from the whole-corpus mix
+    corpus_bp = {
+        r.source: r.keep_bp for r in q_temperature_mix(spark, SF_DIR).collect()
+    }
+    assert any(corpus_bp.get(s) != bp for s, bp in keep_bp.items())
+
+
+def test_corpus_stats_bit_length_buckets(spark, tmp_path):
+    """Length-histogram buckets are integer bit lengths — exact at the
+    power-of-two boundaries where a float floor(log2()) can straddle —
+    and counts/token mass match a pure-python replay."""
+    from collections import defaultdict
+
+    from swissgeol_ocr_spark.plans.queries import q_corpus_stats
+
+    rows = [
+        (0, " ".join(["a"] * 1024), "en", "s1"),   # exactly 2^10 → bucket 11
+        (1, " ".join(["a"] * 1023), "en", "s1"),   # bucket 10
+        (2, " ".join(["a"] * 1025), "en", "s1"),   # bucket 11
+        (3, "a", "en", "s2"),                      # 1 token → bucket 1
+        (4, "a b", "en", "s2"),                    # 2 tokens → bucket 2
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {
+        (r.source, r.len_bucket): (r.n_docs, r.sum_tokens)
+        for r in q_corpus_stats(spark, sf).collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for _d, text, _l, s in rows:
+        t = len(text.split(" "))
+        b = t.bit_length()
+        want[(s, b)][0] += 1
+        want[(s, b)][1] += t
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert ("s1", 11) in got and got[("s1", 11)] == (2, 2049)
+    assert got[("s1", 10)] == (1, 1023)
