@@ -36,7 +36,7 @@ def main() -> None:
                  "ivf_ann_trained", "dedup_band_stats", "corpus_curation",
                  "dedup_lines", "pii_scrub", "tfidf_topk",
                  "temperature_mix", "lm_score", "dedup_substrings",
-                 "corpus_stats"):
+                 "corpus_stats", "winnow_fingerprint"):
         fn, _ = QUERIES[name]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         fn(spark, SF_DIR).explain("formatted")

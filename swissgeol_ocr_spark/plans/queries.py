@@ -1931,6 +1931,144 @@ FROM documents
 """
 
 
+# Robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): the
+# guarantee-carrying fingerprint selection — every shared substring of at
+# least WINNOW_W + WINNOW_K - 1 words is caught by at least one shared
+# selected fingerprint, while only ~2/(w+1) of gram hashes are kept.
+WINNOW_K = 4  # gram width (words)
+WINNOW_W = 4  # window size (grams)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints: hash every 4-word gram to an
+    engine-portable md5-prefix BIGINT, then in every window of 4
+    consecutive gram hashes select the minimum (rightmost on ties — the
+    paper's canonical tie-break), and emit per document the gram count,
+    the selected-fingerprint count, and the md5 of the selected hash
+    sequence in position order. Documents with fewer grams than one
+    window carry an empty signature (the paper assumes n ≥ w; a length
+    gate upstream is the deployment answer).
+
+    Scale shape (100 TB): the textbook formulation (argmin over a
+    trailing window with rightmost tie-break) needs next-smaller-element
+    run lengths that bounded window frames cannot express, so instead
+    each gram hash is exploded into the ≤ w windows it participates in
+    (a constant ×4 fanout of slim (doc_id, i, h) rows — same order as
+    the gram explosion itself) and each window's selection is ONE
+    COMBINABLE aggregate: ``min(struct(h, -i, i))`` grouped on
+    (doc_id, window_end) — rightmost-min via the struct ordering, partial
+    aggregation absorbing everything map-side, keys uniform in the
+    document id. Dedup of selections and the signature rollup are two
+    more doc-keyed combinable aggregates. No window function ever runs,
+    nothing is corpus-wide; the collected signature array is bounded by
+    ~2/(w+1) of a document's grams. The sorted array is materialized in
+    the aggregate BEFORE the transform lambda (higher-order-function
+    lambdas re-evaluate inlined expressions per element)."""
+    docs = _t(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    sized = docs.select("doc_id", F.split("text", " ").alias("wd")).select(
+        "doc_id",
+        "wd",
+        F.greatest(F.size("wd") - (k - 1), F.lit(0)).alias("n_grams"),
+    )
+    grams = sized.filter(F.col("n_grams") >= w).select(
+        "doc_id",
+        "n_grams",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_grams") - 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("wd"), i + 1, k))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("i", "h"),
+    )
+    wins = grams.select(
+        "doc_id",
+        "i",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("i"), F.lit(w - 1)),
+                F.least(F.col("i") + (w - 1), F.col("n_grams") - 1),
+            )
+        ).alias("e"),
+    )
+    sel = wins.groupBy("doc_id", "e").agg(
+        F.min(F.struct("h", (-F.col("i")).alias("ni"), F.col("i"))).alias("m")
+    )
+    positions = sel.groupBy("doc_id", F.col("m.i").alias("i")).agg(
+        F.first(F.col("m.h")).alias("h")
+    )
+    per_doc = positions.groupBy("doc_id").agg(
+        F.count("*").alias("n_selected"),
+        F.array_sort(F.collect_list(F.struct("i", "h"))).alias("_sorted"),
+    ).select(
+        "doc_id",
+        "n_selected",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("_sorted"), lambda s: s["h"].cast("string"))
+            )
+        ).alias("sig_md5"),
+    )
+    return (
+        sized.select("doc_id", "n_grams")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_selected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.coalesce(F.col("sig_md5"), F.md5(F.lit(""))).alias("sig_md5"),
+        )
+    )
+
+
+SQL_WINNOW = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS wd FROM documents
+), sized AS (
+  SELECT doc_id, wd, greatest(len(wd) - {WINNOW_K - 1}, 0) AS n_grams
+  FROM words
+), grams AS (
+  SELECT doc_id, n_grams, CAST(t.i AS INT) AS i,
+         CAST('0x' || substr(md5(array_to_string(
+             wd[CAST(t.i+1 AS INT) : CAST(t.i+{WINNOW_K} AS INT)], ' ')), 1, 8)
+              AS BIGINT) AS h
+  FROM sized, LATERAL unnest(range(0, n_grams)) AS t(i)
+  WHERE n_grams >= {WINNOW_W}
+), wins AS (
+  SELECT doc_id, i, h, CAST(t.e AS INT) AS e
+  FROM grams, LATERAL unnest(range(greatest(i, {WINNOW_W - 1}),
+                                   least(i + {WINNOW_W - 1}, n_grams - 1) + 1))
+       AS t(e)
+), sel AS (
+  SELECT doc_id, e, i, h,
+         row_number() OVER (PARTITION BY doc_id, e
+                            ORDER BY h ASC, i DESC) AS rn
+  FROM wins
+), pos AS (
+  SELECT DISTINCT doc_id, i, h FROM sel WHERE rn = 1
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+         md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS sig_md5
+  FROM pos GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+       coalesce(a.n_selected, 0) AS n_selected,
+       coalesce(a.sig_md5, md5('')) AS sig_md5
+FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # thresholds for the composite curation decision — chosen so both keep and
 # drop are nonzero at every driver scale factor (an all-true or all-false
 # decision column would be a trivially-satisfiable oracle)
@@ -3761,6 +3899,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),

@@ -310,7 +310,7 @@ SF0001_SPOT = [
     "decontaminate", "pack_sequences", "repetition_ratio",
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
     "tfidf_topk", "temperature_mix", "lm_score", "dedup_substrings",
-    "training_mix", "corpus_stats",
+    "training_mix", "corpus_stats", "winnow_fingerprint",
 ]
 
 
@@ -1148,3 +1148,72 @@ def test_corpus_stats_bit_length_buckets(spark, tmp_path):
     assert got == {k: tuple(v) for k, v in want.items()}
     assert ("s1", 11) in got and got[("s1", 11)] == (2, 2049)
     assert got[("s1", 10)] == (1, 1023)
+
+
+def test_winnow_fingerprint_matches_paper_algorithm(spark, tmp_path):
+    """The distributed window-explosion formulation equals a direct
+    pure-python implementation of robust winnowing (per-window rightmost
+    minimum) on seeded corpora with forced hash ties (tiny vocabulary →
+    repeated grams → equal hashes inside one window), and the guarantee
+    holds: two docs sharing a long passage share at least one selected
+    fingerprint; density stays near 2/(w+1)."""
+    import hashlib
+    import random
+
+    from swissgeol_ocr_spark.plans.queries import (
+        WINNOW_K,
+        WINNOW_W,
+        q_winnow_fingerprint,
+    )
+
+    k, w = WINNOW_K, WINNOW_W
+    rnd = random.Random(13)
+    vocab = [f"v{j}" for j in range(5)]  # tiny vocab → in-window ties
+    passage = [f"p{j}" for j in range(w + 2 * k)]  # guarantee-length share
+    rows = []
+    for d in range(40):
+        words = [rnd.choice(vocab) for _ in range(rnd.randrange(0, 40))]
+        if d in (7, 23):  # two docs share the passage at different offsets
+            at = rnd.randrange(0, max(1, len(words)))
+            words = words[:at] + passage + words[at:]
+        rows.append((d, " ".join(words), "en", "s1"))
+
+    def hgram(ws):
+        return int(hashlib.md5(" ".join(ws).encode()).hexdigest()[:8], 16)
+
+    def winnow(words):
+        n = len(words) - (k - 1)
+        if n < w:
+            return n if n > 0 else 0, []
+        hs = [hgram(words[i : i + k]) for i in range(n)]
+        selected = set()
+        for e in range(w - 1, n):
+            win = list(range(e - w + 1, e + 1))
+            m = min(hs[i] for i in win)
+            p = max(i for i in win if hs[i] == m)  # rightmost min
+            selected.add((p, hs[p]))
+        return n, sorted(selected)
+
+    want = {}
+    sigs = {}
+    for d, text, _l, _s in rows:
+        words = text.split(" ")
+        n, sel = winnow(words)
+        sig = hashlib.md5(",".join(str(h) for _i, h in sel).encode()).hexdigest()
+        want[d] = (n, len(sel), sig)
+        sigs[d] = {h for _i, h in sel}
+
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_grams, r.n_selected, r.sig_md5)
+        for r in q_winnow_fingerprint(spark, sf).collect()
+    }
+    assert got == want
+    # SIGMOD-03 guarantee: a shared run of >= w+k-1 words shares a print
+    assert sigs[7] & sigs[23]
+    # density: ~2/(w+1) of grams selected on the long docs
+    long_docs = [d for d in want if want[d][0] >= 20]
+    assert long_docs
+    for d in long_docs:
+        frac = want[d][1] / want[d][0]
+        assert 0.1 < frac < 0.8
