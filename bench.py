@@ -434,13 +434,164 @@ def main_mega() -> None:
     }))
 
 
+def _dedup_corpus(mult: int) -> tuple[str, int]:
+    """Materialize the amplified dedup corpus ONCE (DuckDB, no Spark —
+    corpus prep is not part of the timed job): every sf0.1 document
+    replicated ``mult``× under disjoint doc_id ranges, each replica
+    carrying a distinct suffix token. Distinct texts mean every replica
+    is its own exact-collapse representative, so the per-document
+    fingerprint compute (shingling + MinHash signatures — the dominant
+    real cost of the dedup spine) scales with ``mult``; the replicas of
+    one document share almost their whole shingle set, so they land as
+    near-identical signatures in shared band buckets — exactly the
+    hot-duplicate-family shape the round-5 per-bucket cap bounds (an
+    EXACT-copy amplification was tried first and collapses so early that
+    all three legs sit on the ~8s serial floor: the job measured fixed
+    overhead, not the spine). All parallelism levels read the same
+    artifact."""
+    import duckdb
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR)
+    amp = f"/tmp/sgs_dedup_p{mult}_{os.path.basename(src.rstrip('/'))}"
+    out = os.path.join(amp, "documents.parquet")
+    if not os.path.exists(out):
+        os.makedirs(amp, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT d.* REPLACE ("
+            f"d.doc_id + t.k * 100000000 AS doc_id, "
+            f"d.text || ' r' || CAST(t.k AS VARCHAR) AS text) "
+            f"FROM '{src}/documents.parquet' d, range({mult}) t(k)) "
+            f"TO '{out}' (FORMAT PARQUET)"
+        )
+    n_docs = duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+    return amp, int(n_docs)
+
+
+def one_dedup_run(cores: str) -> None:
+    """Subprocess entry: one full-evaluation pass of the composed dedup
+    spine (corpus_curation: signal scan + md5 exact-collapse + banded
+    MinHash-LSH over representatives + keep decision) at a fixed core
+    count."""
+    from swissgeol_ocr_spark.plans.queries import q_corpus_curation
+
+    amp = os.environ["SPARK_GRAFT_DEDUP_DIR"]
+    n_docs = int(os.environ["SPARK_GRAFT_DEDUP_NDOCS"])
+    spark = build_spark(cores)
+    try:
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            n_out = q_corpus_curation(spark, amp).count()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        assert n_out == n_docs, (n_out, n_docs)  # one decision row per doc
+        print(json.dumps({
+            "cores": int(cores),
+            "docs_per_sec": n_docs / best,
+            "n_docs": n_docs,
+            "elapsed": best,
+        }))
+    finally:
+        spark.stop()
+
+
+def main_dedup_scaling() -> None:
+    """Dedup-spine scaling evidence (BENCH/DEDUP.md): the composed
+    corpus_curation job — the engine's realistic dedup workload — on an
+    exact-copy-amplified corpus at 2/8/32 pinned cores, same interleaved
+    best-of protocol as --scaling."""
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # MULT=24 puts the 2-core leg ≈ 3 min and the 8-core leg ≈ 1 min —
+    # both clear of the ~8s serial floor (calibrated 2026-08-17: ~3
+    # core-ms/doc; at MULT=4 the 32-core wall IS the floor, 7.8s). One
+    # timed repeat per leg: the interleaved passes already sample host
+    # windows, and the 2-core leg dominates the protocol wall.
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "24"))
+    amp, n_docs = _dedup_corpus(mult)
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "1")
+    env["SPARK_GRAFT_DEDUP_DIR"] = amp
+    env["SPARK_GRAFT_DEDUP_NDOCS"] = str(n_docs)
+    results: dict[str, dict] = {}
+    for _ in range(runs):
+        for cores in ("2", "8", "32"):
+            cmd = ["taskset", "-c", ",".join(map(str, range(int(cores)))),
+                   sys.executable, __file__, "--one-dedup-run", cores]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if cores not in results or r["docs_per_sec"] > results[cores]["docs_per_sec"]:
+                results[cores] = r
+    r2, r8, r32 = results["2"], results["8"], results["32"]
+    eff_2_8 = r8["docs_per_sec"] / (4 * r2["docs_per_sec"])
+    eff_8_32 = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/DEDUP.md", "w") as f:
+        f.write(
+            "# BENCH/DEDUP — dedup-spine scaling, measured\n\n"
+            "The composed corpus_curation job (linear signal scan + md5\n"
+            "exact-collapse + banded MinHash-LSH over representatives +\n"
+            "keep decision — the engine's realistic corpus-dedup workload)\n"
+            f"on {os.environ.get('SPARK_GRAFT_SF_DIR', SF_DIR)} replicated "
+            f"×{mult} as NEAR-duplicates\n({n_docs:,} docs; each replica "
+            "carries a distinct suffix token, so\nevery replica is its own "
+            "exact-collapse representative and the\nper-document fingerprint "
+            "compute — shingling + MinHash signatures,\nthe dominant real "
+            "cost of the spine — scales with the multiplier,\nwhile the "
+            "near-identical replicas land in shared band buckets:\nthe "
+            "hot-duplicate-family shape the round-5 per-bucket cap bounds.\n"
+            "An exact-copy amplification was tried first and collapses so\n"
+            "early that every leg sat on the ~8s serial floor — it measured\n"
+            "fixed overhead, not the spine).\nSame pinned-subprocess "
+            f"interleaved best-of protocol as --scaling\n({runs} passes × "
+            f"{os.environ.get('SPARK_GRAFT_BENCH_REPEATS', '2')} timed runs "
+            "per level; all levels read one\npre-materialized artifact — "
+            "corpus prep is not timed).\n\n"
+            "| cores | docs/s | wall (s) |\n|---|---|---|\n"
+            + "".join(
+                f"| {r['cores']} | {r['docs_per_sec']:.0f} | {r['elapsed']:.2f} |\n"
+                for r in (r2, r8, r32)
+            )
+            + f"\n**Per-core scaling efficiency, 2 → 8: {eff_2_8:.3f}** "
+            "(target ≥ 0.8)\n\n"
+            f"Per-core scaling efficiency, 8 → 32: {eff_8_32:.3f} (read\n"
+            "against the ~0.50 32-proc hardware ceiling in BENCH/BASELINE.md\n"
+            "— the shared host's memory subsystem, not the pipeline; this\n"
+            "workload is JVM-shuffle-heavy, the regime the shuffle-bandwidth\n"
+            "control in BENCH/MEGA.md shows saturates the box's memory bus\n"
+            "first. On a real cluster 4N executors bring 4× the memory\n"
+            "channels and NICs; 2→8 is the faithful N→4N stand-in.)\n\n"
+            "Correctness of the measured job is the separately-gated\n"
+            "corpus_curation oracle (rows+schema+hash vs DuckDB at two SFs)\n"
+            "plus the hot-duplicate-cluster linearity test\n"
+            "(tests/test_queries.py::test_hot_duplicate_cluster_linear).\n"
+        )
+    print(json.dumps({
+        "dedup_efficiency_2_to_8": round(eff_2_8, 3),
+        "dedup_efficiency_8_to_32": round(eff_8_32, 3),
+        "n2": round(r2["docs_per_sec"], 1),
+        "n8": round(r8["docs_per_sec"], 1),
+        "n32": round(r32["docs_per_sec"], 1),
+        "mult": mult,
+        "n_docs": n_docs,
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--one-run":
         SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR)
         one_scaling_run(sys.argv[2])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--one-dedup-run":
+        one_dedup_run(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mega":
         main_mega()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dedup-scaling":
+        main_dedup_scaling()
     else:
         main_bench()

@@ -1515,6 +1515,106 @@ SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.95
 """
 
 
+SEMDEDUP_THR = 0.4
+"""Within-cluster cosine above which the later vector is a semantic dup.
+
+Deliberately low for the synthetic table (max corpus cosine ≈ 0.51 — there
+are no planted clones on this path; the decision logic, not the corpus, is
+under test). Production SemDeDup uses ~0.95+."""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    partition the embedding space with the deterministic IVF codebook
+    (first-8-by-id centroids, max-cosine assignment — simsearch.ivf_assign),
+    then prune WITHIN each cluster only: a vector is a semantic duplicate
+    if an earlier-id clustermate scores ≥ SEMDEDUP_THR cosine; its keeper
+    is the minimum such clustermate. One keep-decision row per vector.
+
+    100 TB shape: the quadratic compare is confined to one cluster — k-means
+    granularity (n_lists ∝ √N in the SemDeDup paper) is the scale lever that
+    bounds every cluster's pair join, and the cluster id is the single
+    equi-join/shuffle key. The shared `assigned` subtree ends in an explicit
+    hash Exchange on ivf_list so the self-join's two consumers and the final
+    decision join all sit on the SAME canonical Exchange (runtime
+    ReuseExchange — the cap_band_buckets lesson); an adversarial
+    mega-cluster would be bounded by cap_band_buckets(key_col='ivf_list')
+    exactly as the banded text families are. Complements
+    `dedup_embedding_cosine` (LSH-bucket recall path): clustering here is
+    exhaustive within a cell, so within-cluster recall is 1.0 by
+    construction. No reference counterpart (LLM-pipeline family)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = simsearch.ivf_assign(emb, n_lists=8).repartition("ivf_list")
+    sim = F.round(
+        simsearch.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    dup_pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.ivf_list") == F.col("b.ivf_list"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            sim.alias("cs"),
+        )
+        .filter(F.col("cs") >= SEMDEDUP_THR)
+    )
+    dup_of = dup_pairs.groupBy("dst").agg(F.min("src").alias("dup_of"))
+    return (
+        assigned.join(dup_of, assigned.vec_id == dup_of.dst, "left")
+        .select(
+            "vec_id",
+            F.col("ivf_list").cast("int").alias("ivf_list"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_rank, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cpairs AS (
+  SELECT e.vec_id, c.cent_rank,
+         CAST(unnest(e.embedding) AS DOUBLE) AS v,
+         CAST(unnest(c.cvec) AS DOUBLE) AS cv
+  FROM embeddings e CROSS JOIN cents c
+), csims AS (
+  SELECT vec_id, cent_rank,
+         round(sum(v*cv) / (sqrt(sum(v*v)) * sqrt(sum(cv*cv))), 9) AS csim
+  FROM cpairs GROUP BY vec_id, cent_rank
+), assigned AS (
+  SELECT vec_id, cent_rank AS ivf_list
+  FROM (SELECT vec_id, cent_rank,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_rank ASC) AS rn
+        FROM csims)
+  WHERE rn = 1
+), pp AS (
+  SELECT aa.vec_id AS src, bb.vec_id AS dst,
+         CAST(unnest(a.embedding) AS DOUBLE) AS av,
+         CAST(unnest(b.embedding) AS DOUBLE) AS bv
+  FROM assigned aa
+  JOIN assigned bb ON aa.ivf_list = bb.ivf_list AND aa.vec_id < bb.vec_id
+  JOIN embeddings a ON a.vec_id = aa.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id
+), pc AS (
+  SELECT src, dst,
+         round(sum(av*bv) / (sqrt(sum(av*av)) * sqrt(sum(bv*bv))), 6) AS cs
+  FROM pp GROUP BY src, dst
+), dup AS (
+  SELECT dst, min(src) AS dup_of FROM pc WHERE cs >= {SEMDEDUP_THR} GROUP BY dst
+)
+SELECT a.vec_id, CAST(a.ivf_list AS INT) AS ivf_list,
+       dup.dup_of IS NULL AS keep, dup.dup_of
+FROM assigned a LEFT JOIN dup ON a.vec_id = dup.dst
+"""
+
+
 def q_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode ordering (the relational face of span offset assignment,
     SURVEY §2.8): one row per word with its dense position."""
@@ -3866,6 +3966,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_band_stats": (q_dedup_band_stats, SQL_BAND_STATS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBED),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "c6_spatial_antijoin": (q_c6_spatial_antijoin, SQL_C6),
     "p6_crop_accept": (q_p6_crop_accept, SQL_P6),
     "p7_downscale_budget": (q_p7_downscale_budget, SQL_P7),

@@ -311,6 +311,7 @@ SF0001_SPOT = [
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
     "tfidf_topk", "temperature_mix", "lm_score", "dedup_substrings",
     "training_mix", "corpus_stats", "winnow_fingerprint",
+    "semantic_dedup",
 ]
 
 
@@ -1217,3 +1218,38 @@ def test_winnow_fingerprint_matches_paper_algorithm(spark, tmp_path):
     for d in long_docs:
         frac = want[d][1] / want[d][0]
         assert 0.1 < frac < 0.8
+
+
+def test_semantic_dedup_invariants_and_reuse(spark):
+    """SemDeDup keep-decision invariants plus the multi-consumer plan
+    shape: the IVF-assignment subtree ends in ONE canonical Exchange on
+    ivf_list, so the pair self-join's two sides AND the final decision
+    join all reuse a single computation — the executed adaptive plan must
+    show (at least) two ReusedExchange nodes, not three copies of the
+    assignment subtree."""
+    from swissgeol_ocr_spark.plans.queries import q_semantic_dedup
+
+    df = q_semantic_dedup(spark, SF_DIR)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
+
+    by_id = {r.vec_id: r for r in rows}
+    assert len(rows) == 500  # one decision row per vector at sf0.01
+    dups = [r for r in rows if not r.keep]
+    assert len(dups) >= 10  # discriminating, not a near-empty oracle
+    for r in dups:
+        # a duplicate's keeper is an earlier vector in the SAME cluster
+        assert r.dup_of is not None and r.dup_of < r.vec_id
+        assert by_id[r.dup_of].ivf_list == r.ivf_list
+    for r in rows:
+        if r.keep:
+            assert r.dup_of is None
+    # the minimum-id member of every cluster can have no earlier
+    # clustermate, so it is always kept
+    first: dict[int, int] = {}
+    for r in rows:
+        if r.ivf_list not in first or r.vec_id < first[r.ivf_list]:
+            first[r.ivf_list] = r.vec_id
+    for vid in first.values():
+        assert by_id[vid].keep
