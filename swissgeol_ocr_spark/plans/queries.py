@@ -2065,6 +2065,38 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate BEFORE the transform lambda (higher-order-function
     lambdas re-evaluate inlined expressions per element)."""
     docs = _t(spark, sf_dir, "documents")
+    sized, positions = _winnow_relations(docs)
+    per_doc = positions.groupBy("doc_id").agg(
+        F.count("*").alias("n_selected"),
+        F.array_sort(F.collect_list(F.struct("i", "h"))).alias("_sorted"),
+    ).select(
+        "doc_id",
+        "n_selected",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("_sorted"), lambda s: s["h"].cast("string"))
+            )
+        ).alias("sig_md5"),
+    )
+    return (
+        sized.select("doc_id", "n_grams")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_selected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.coalesce(F.col("sig_md5"), F.md5(F.lit(""))).alias("sig_md5"),
+        )
+    )
+
+
+def _winnow_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two winnowing relations shared by the per-doc signature query
+    and the MOSS-style pair query: ``sized`` (doc_id, wd, n_grams) and
+    ``positions`` (doc_id, i, h) — the selected fingerprints with their
+    gram positions. See q_winnow_fingerprint for the scale argument."""
     k, w = WINNOW_K, WINNOW_W
     sized = docs.select("doc_id", F.split("text", " ").alias("wd")).select(
         "doc_id",
@@ -2106,33 +2138,10 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions = sel.groupBy("doc_id", F.col("m.i").alias("i")).agg(
         F.first(F.col("m.h")).alias("h")
     )
-    per_doc = positions.groupBy("doc_id").agg(
-        F.count("*").alias("n_selected"),
-        F.array_sort(F.collect_list(F.struct("i", "h"))).alias("_sorted"),
-    ).select(
-        "doc_id",
-        "n_selected",
-        F.md5(
-            F.concat_ws(
-                ",", F.transform(F.col("_sorted"), lambda s: s["h"].cast("string"))
-            )
-        ).alias("sig_md5"),
-    )
-    return (
-        sized.select("doc_id", "n_grams")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.coalesce(F.col("n_selected"), F.lit(0))
-            .cast("bigint")
-            .alias("n_selected"),
-            F.coalesce(F.col("sig_md5"), F.md5(F.lit(""))).alias("sig_md5"),
-        )
-    )
+    return sized, positions
 
 
-SQL_WINNOW = f"""
+_WINNOW_CTES = f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS wd FROM documents
 ), sized AS (
@@ -2157,7 +2166,9 @@ WITH words AS (
   FROM wins
 ), pos AS (
   SELECT DISTINCT doc_id, i, h FROM sel WHERE rn = 1
-), agg AS (
+)"""
+
+SQL_WINNOW = _WINNOW_CTES + """, agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
          md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS sig_md5
   FROM pos GROUP BY doc_id
@@ -2166,6 +2177,95 @@ SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
        coalesce(a.n_selected, 0) AS n_selected,
        coalesce(a.sig_md5, md5('')) AS sig_md5
 FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# MOSS-style pair detection over winnowed fingerprints: a fingerprint
+# shared by more documents than the cap is boilerplate, not evidence.
+# MIN_SHARED=1 reports every sharing pair (production raises it; on this
+# corpus the >=2 pairs are all FULL overlaps, so the single-print pairs
+# are what give the overlap_ppm column discriminating variety)
+WINNOW_HOT_CAP = 64
+WINNOW_MIN_SHARED = 1
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup/plagiarism pair detection (Schleimer et al.,
+    SIGMOD 2003 §5): documents meet through an inverted index on their
+    winnowed fingerprints — pairs sharing ≥ WINNOW_MIN_SHARED selected
+    prints are reported with the shared count and an overlap ratio in
+    integer ppm of the smaller document's print set (floor(k·1e6/n): the
+    engine-portable ppm idiom — round() halves differ cross-engine).
+
+    Winnowing's guarantee makes the index sound: any shared word run of
+    ≥ WINNOW_W + WINNOW_K − 1 words surfaces at least one shared print,
+    so substantial textual overlap cannot hide. Scale shape (100 TB):
+    identical to the banded dedup families — candidates meet in an
+    equi-join on the print hash, never all-pairs; a print held by more
+    than WINNOW_HOT_CAP documents is boilerplate and is routed OUT by the
+    same one-Exchange COUNT-window cap the band joins use
+    (cap_band_buckets — both self-join consumers and the per-doc print
+    counts sit on shared canonical Exchanges), bounding any print's
+    candidate contribution at cap². The per-doc print count rides the
+    capped relation as a window column (no extra corpus joins), so the
+    denominator is exact while capped prints only LOWER the measured
+    overlap — a routed recall cap, visible, like the Jaccard hot-shingle
+    cap. No reference counterpart (LLM-pipeline family)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    _sized, positions = _winnow_relations(docs)
+    fps = positions.select("doc_id", "h").distinct().withColumn(
+        "n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    capped = textops.cap_band_buckets(fps, WINNOW_HOT_CAP, key_col="h")
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("a.n_fp").alias("_na"),
+            F.min("b.n_fp").alias("_nb"),
+        )
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.floor(
+            F.col("n_shared") * F.lit(1000000) / F.least("_na", "_nb")
+        ).cast("bigint").alias("overlap_ppm"),
+    )
+
+
+SQL_WINNOW_PAIRS = _WINNOW_CTES + f""", fps AS (
+  SELECT DISTINCT doc_id, h FROM pos
+), counted AS (
+  SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM fps
+), capped AS (
+  SELECT doc_id, h, n_fp FROM (
+    SELECT doc_id, h, n_fp, count(*) OVER (PARTITION BY h) AS hot
+    FROM counted
+  ) WHERE hot <= {WINNOW_HOT_CAP}
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         min(a.n_fp) AS na, min(b.n_fp) AS nb
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, n_shared,
+       CAST(floor(n_shared * 1000000 / least(na, nb)) AS BIGINT)
+         AS overlap_ppm
+FROM pairs WHERE n_shared >= {WINNOW_MIN_SHARED}
 """
 
 
@@ -4001,6 +4101,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "extract_flagship": (q_extract_flagship, SQL_EXTRACT_FLAGSHIP),
     "extract_sequence": (q_extract_sequence, SQL_EXTRACT_SEQUENCE),

@@ -311,7 +311,7 @@ SF0001_SPOT = [
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
     "tfidf_topk", "temperature_mix", "lm_score", "dedup_substrings",
     "training_mix", "corpus_stats", "winnow_fingerprint",
-    "semantic_dedup",
+    "semantic_dedup", "winnow_pairs",
 ]
 
 
@@ -1253,3 +1253,50 @@ def test_semantic_dedup_invariants_and_reuse(spark):
             first[r.ivf_list] = r.vec_id
     for vid in first.values():
         assert by_id[vid].keep
+
+
+def test_winnow_pairs_guarantee_and_hot_cap(spark, tmp_path):
+    """Three pinned properties of the MOSS-style pair query: (1) the
+    winnowing guarantee — two documents sharing a word run of at least
+    WINNOW_W + WINNOW_K - 1 words MUST surface as a pair; (2) the
+    hot-print cap — a cohort of byte-identical documents wider than
+    WINNOW_HOT_CAP has EVERY print routed out of the inverted index, so
+    it produces no pairs at all (the adversarial-cluster bound); (3) a
+    same-text cohort NARROWER than the cap sails through at full overlap.
+
+    Deliberately byte-identical cohorts: with a unique-per-doc prefix,
+    winnowing's selection near the boundary is context-dependent, so a
+    boilerplate print may be SELECTED by only a sub-cap subset of the
+    cohort and legitimately survive — the cap bounds per-print fan-in,
+    it is not a semantic boilerplate filter (same recall caveat as the
+    Jaccard hot-shingle cap)."""
+    from swissgeol_ocr_spark.plans.queries import (
+        WINNOW_HOT_CAP,
+        WINNOW_K,
+        WINNOW_W,
+        q_winnow_pairs,
+    )
+
+    shared_run = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1 + 5))
+    rows = [
+        (0, "alpha bravo " + shared_run + " charlie delta", "en", "s1"),
+        (1, "echo foxtrot golf " + shared_run + " hotel", "en", "s1"),
+    ]
+    hot = "all rights reserved contact the site administrator today ok then"
+    cold = "this entirely different footer appears on a small site only"
+    n_hot = WINNOW_HOT_CAP + 6
+    n_cold = 10
+    for d in range(n_hot):
+        rows.append((100 + d, hot, "en", "s2"))
+    for d in range(n_cold):
+        rows.append((300 + d, cold, "en", "s3"))
+    sf = _write_documents(spark, tmp_path, rows)
+
+    pairs = {(r.a_id, r.b_id): r for r in q_winnow_pairs(spark, sf).collect()}
+    assert (0, 1) in pairs  # (1) the guarantee
+    hot_pairs = [p for p in pairs if 100 <= p[0] < 300 and 100 <= p[1] < 300]
+    assert hot_pairs == []  # (2) over-cap cohort fully routed
+    cold_pairs = [p for p in pairs if p[0] >= 300 and p[1] >= 300]
+    assert len(cold_pairs) == n_cold * (n_cold - 1) // 2  # (3) sub-cap flows
+    for p in cold_pairs:
+        assert pairs[p].overlap_ppm == 1_000_000
