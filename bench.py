@@ -64,6 +64,24 @@ def build_spark(cores: str):
     return configure_spark(builder).getOrCreate()
 
 
+def force_all_columns(df) -> int:
+    """Evaluate a query FOR REAL and return its row count: one aggregate
+    summing a hash over every output column. A bare ``count()`` lets
+    Catalyst prune projection-only work entirely — a per-doc scoring
+    query 'benchmarks' as a parquet row-count (found in round 5:
+    quality_score timed 0.28s pruned; the hash-forced plan is the one a
+    user materializing the output pays for). Joins/filters on computed
+    keys were already honest under count(); the hash makes every query
+    uniformly so."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+    ).first()
+    return row["n"]
+
+
 def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     from swissgeol_ocr_spark.plans.queries import QUERIES
 
@@ -73,7 +91,7 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = force_all_columns(df)
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "extract_flagship":
             n_docs = n
@@ -452,16 +470,29 @@ def _dedup_corpus(mult: int) -> tuple[str, int]:
     import duckdb
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR)
-    amp = f"/tmp/sgs_dedup_p{mult}_{os.path.basename(src.rstrip('/'))}"
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_REP", "8"))
+    amp = f"/tmp/sgs_dedup_p{mult}x{rep}_{os.path.basename(src.rstrip('/'))}"
     out = os.path.join(amp, "documents.parquet")
     if not os.path.exists(out):
         os.makedirs(amp, exist_ok=True)
+        # text repeated rep× — the sf0.1 texts are ~300 chars (tweet-size);
+        # web-corpus dedup runs on KB-scale documents, and the spine's real
+        # cost (per-shingle md5 + signature folds + quality regex scans) is
+        # linear in text length, so short texts understate the compute the
+        # scaling claim is about (calibrated 2026-08-17: rows-only
+        # amplification left the 2-core leg at ~6s — inside the serial
+        # floor — because per-doc cost is ~40 core-µs at 300 chars)
         duckdb.sql(
             f"COPY (SELECT d.* REPLACE ("
             f"d.doc_id + t.k * 100000000 AS doc_id, "
-            f"d.text || ' r' || CAST(t.k AS VARCHAR) AS text) "
+            f"repeat(d.text || ' ', {rep}) || 'r' || CAST(t.k AS VARCHAR)"
+            f" AS text) "
             f"FROM '{src}/documents.parquet' d, range({mult}) t(k)) "
-            f"TO '{out}' (FORMAT PARQUET)"
+            # small row groups: Spark parallelizes a parquet scan at row-
+            # group granularity, and the scan+fingerprint stage is the
+            # expensive one — one 122k-row default group serializes it
+            # (measured: 2->8 cores sped the job only 1.28x)
+            f"TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)"
         )
     n_docs = duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
     return amp, int(n_docs)
@@ -477,12 +508,17 @@ def one_dedup_run(cores: str) -> None:
     amp = os.environ["SPARK_GRAFT_DEDUP_DIR"]
     n_docs = int(os.environ["SPARK_GRAFT_DEDUP_NDOCS"])
     spark = build_spark(cores)
+    # the 100 TB table is ~10^6 file-splits — every core always has scan
+    # tasks. The local stand-in is ONE duckdb-written file, so split it
+    # finely or the linear fingerprint stage serializes into 1-2 tasks
+    # and the scaling ratio measures Amdahl, not the engine.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     try:
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
         best = None
         for _ in range(repeats):
             t0 = time.time()
-            n_out = q_corpus_curation(spark, amp).count()
+            n_out = force_all_columns(q_corpus_curation(spark, amp))
             el = time.time() - t0
             best = el if best is None or el < best else best
         assert n_out == n_docs, (n_out, n_docs)  # one decision row per doc
@@ -502,15 +538,16 @@ def main_dedup_scaling() -> None:
     exact-copy-amplified corpus at 2/8/32 pinned cores, same interleaved
     best-of protocol as --scaling."""
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    # MULT=24 puts the 2-core leg ≈ 3 min and the 8-core leg ≈ 1 min —
-    # both clear of the ~8s serial floor (calibrated 2026-08-17: ~3
-    # core-ms/doc; at MULT=4 the 32-core wall IS the floor, 7.8s). One
-    # timed repeat per leg: the interleaved passes already sample host
-    # windows, and the 2-core leg dominates the protocol wall.
+    # MULT=24 × TEXT_REP=8 (120k docs, ~2.4KB each) targets a 2-core leg
+    # ≈ 2 min and an 8-core leg ≳ 30s — both clear of the ~8s serial
+    # floor (calibrated 2026-08-17 with full-column forcing: ~2 core-ms
+    # per doc at 2.4KB; the 32-core leg stays floor-adjacent and is
+    # annotated — the north-rule N→4N claim is 2→8). Two timed repeats
+    # per leg: the first run pays JIT/codegen warmup, best-of excludes it.
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "24"))
     amp, n_docs = _dedup_corpus(mult)
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "1")
+    env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "2")
     env["SPARK_GRAFT_DEDUP_DIR"] = amp
     env["SPARK_GRAFT_DEDUP_NDOCS"] = str(n_docs)
     results: dict[str, dict] = {}
@@ -537,16 +574,19 @@ def main_dedup_scaling() -> None:
             "exact-collapse + banded MinHash-LSH over representatives +\n"
             "keep decision — the engine's realistic corpus-dedup workload)\n"
             f"on {os.environ.get('SPARK_GRAFT_SF_DIR', SF_DIR)} replicated "
-            f"×{mult} as NEAR-duplicates\n({n_docs:,} docs; each replica "
+            f"×{mult} as NEAR-duplicates\nwith text repeated "
+            f"×{os.environ.get('SPARK_GRAFT_BENCH_TEXT_REP', '8')} to "
+            f"web-document size (~2.4KB)\n({n_docs:,} docs; each replica "
             "carries a distinct suffix token, so\nevery replica is its own "
             "exact-collapse representative and the\nper-document fingerprint "
             "compute — shingling + MinHash signatures,\nthe dominant real "
-            "cost of the spine — scales with the multiplier,\nwhile the "
-            "near-identical replicas land in shared band buckets:\nthe "
-            "hot-duplicate-family shape the round-5 per-bucket cap bounds.\n"
-            "An exact-copy amplification was tried first and collapses so\n"
-            "early that every leg sat on the ~8s serial floor — it measured\n"
-            "fixed overhead, not the spine).\nSame pinned-subprocess "
+            "cost of the spine, linear in text length —\nscales with the "
+            "multiplier, while the near-identical replicas land\nin shared "
+            "band buckets: the hot-duplicate-family shape the round-5\n"
+            "per-bucket cap bounds. Exact-copy and short-text amplifications\n"
+            "were tried first and collapse so early that every leg sat on\n"
+            "the ~8s serial floor — they measured fixed overhead, not the\n"
+            "spine).\nSame pinned-subprocess "
             f"interleaved best-of protocol as --scaling\n({runs} passes × "
             f"{os.environ.get('SPARK_GRAFT_BENCH_REPEATS', '2')} timed runs "
             "per level; all levels read one\npre-materialized artifact — "

@@ -19,6 +19,10 @@ Operator ↔ reference mapping (file:line in /root/reference):
   join_broadcast_dim     block-graph child resolution S7 as hash equi-join
   topk_orders            deterministic top-k
   event_windows          tumbling-window rollup (streaming-ish batch form)
+  sessionize             gap-based per-user sessionization (batch twin of a
+                         session window; one user_id exchange)
+  asof_join              point-in-time as-of join via union-tag +
+                         last(ignorenulls) — linear, never range-explosion
 plus the training-data family documented in functions/textops.py and
 functions/simsearch.py.
 """
@@ -321,6 +325,133 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per-user sessions split on >30 min of
+    inactivity — the standard event-stream building block (the streaming
+    twin is a session window with the same gap; this is the batch form the
+    oracle can pin). One hash exchange on user_id, then two linear window
+    walks inside each user's partition — nothing quadratic at 100 TB; a
+    pathological single-user firehose would serialize into one task, the
+    same caveat every per-key sessionizer has. Ties on ts break by
+    event_id so the walk is deterministic across engines; value totals are
+    integer cents (2-decimal inputs) because a per-session double sum is
+    summation-order-dependent."""
+    ev = _t(spark, sf_dir, "events")
+    walk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("prev_ts", F.lag("ts").over(walk))
+    # timestampdiff, not unix_micros: the parquet column is TIMESTAMP_NTZ,
+    # and a cast to TIMESTAMP would interpret it in the session timezone —
+    # a DST-straddling gap would then disagree with DuckDB's epoch_us math
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    d = d.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    d = d.withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(walk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return d.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("duration_us"),
+        F.sum("cents").alias("sum_value_cents"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, cents,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'click' matched to the latest prior-or-equal 'view'
+    by the same user — the point-in-time join Spark has no built-in for.
+    Expressed as union-tag + last(ignorenulls) over ONE user_id exchange:
+    both sides shuffle once on the equi-key and the match is a single
+    linear in-partition pass — never the range-explosion join (clicks ×
+    candidate views) a naive BETWEEN formulation produces at 100 TB. At
+    equal timestamps views sort before clicks (is_probe tiebreak), so
+    'prior-or-equal' includes a same-microsecond view, deterministically."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "click"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1)).alias(
+            "is_probe"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "is_probe", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = tagged.withColumn(
+        "matched_view_id", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn("matched_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return m.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "matched_view_id",
+        # NTZ-safe and timezone-free (see q_sessionize)
+        F.expr("timestampdiff(MICROSECOND, matched_view_ts, ts)").alias("lag_us"),
+    )
+
+
+SQL_ASOF = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+         CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS is_probe
+  FROM events WHERE event_type IN ('view', 'click')
+), m AS (
+  SELECT user_id, ts, event_id, is_probe,
+         last_value(view_id IGNORE NULLS) OVER w AS matched_view_id,
+         last_value(view_ts IGNORE NULLS) OVER w AS matched_view_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS click_id, user_id, ts AS click_ts, matched_view_id,
+       epoch_us(ts) - epoch_us(matched_view_ts) AS lag_us
+FROM m WHERE is_probe = 1
 """
 
 
@@ -4059,6 +4190,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "join_broadcast_dim": (q_join_broadcast_dim, SQL_JOIN),
     "topk_orders": (q_topk_orders, SQL_TOPK),
     "event_windows": (q_event_windows, SQL_WINDOWS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),

@@ -1226,13 +1226,35 @@ def test_semantic_dedup_invariants_and_reuse(spark):
     ivf_list, so the pair self-join's two sides AND the final decision
     join all reuse a single computation — the executed adaptive plan must
     show (at least) two ReusedExchange nodes, not three copies of the
-    assignment subtree."""
+    assignment subtree. At sf0.01 AQE legitimately broadcasts the tiny
+    sides (which recomputes the subtree — cheap at 500 rows, wrong at
+    100 TB), so the shape assertion pins the SCALE regime: broadcasts
+    disabled, the plan Catalyst would pick when no side fits in memory."""
     from swissgeol_ocr_spark.plans.queries import q_semantic_dedup
 
     df = q_semantic_dedup(spark, SF_DIR)
     rows = df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 2
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        big = q_semantic_dedup(spark, SF_DIR)
+        big.collect()
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ReusedExchange") >= 2
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     by_id = {r.vec_id: r for r in rows}
     assert len(rows) == 500  # one decision row per vector at sf0.01
