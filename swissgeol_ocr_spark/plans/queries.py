@@ -329,10 +329,12 @@ FROM events GROUP BY 1, 2
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: per-user sessions split on >30 min of
-    inactivity — the standard event-stream building block (the streaming
-    twin is a session window with the same gap; this is the batch form the
-    oracle can pin). One hash exchange on user_id, then two linear window
+    """Gap-based sessionization: per-user sessions split on ≥30 min of
+    inactivity — the standard event-stream building block. The streaming
+    twin is streaming/pipeline.py `sessionize_stream` (built-in
+    session_window, same gap); session_window is half-open [ts, ts+gap),
+    so the split here is `>=` to agree with it event-for-event (equality
+    pinned in tests). This is the batch form the oracle can pin. One hash exchange on user_id, then two linear window
     walks inside each user's partition — nothing quadratic at 100 TB; a
     pathological single-user firehose would serialize into one task, the
     same caveat every per-key sessionizer has. Ties on ts break by
@@ -353,7 +355,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
     d = d.withColumn(
         "is_new",
-        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+        F.when(gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), F.lit(1)).otherwise(
             F.lit(0)
         ),
     )
@@ -377,7 +379,7 @@ WITH g AS (
   SELECT user_id, ts, event_id,
          CAST(round(value * 100) AS BIGINT) AS cents,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -432,6 +434,161 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NTZ-safe and timezone-free (see q_sessionize)
         F.expr("timestampdiff(MICROSECOND, matched_view_ts, ts)").alias("lag_us"),
     )
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → click → purchase) per user:
+    first view, first click at-or-after it, first purchase at-or-after
+    that. ONE user_id exchange: the three stages are chained running-min
+    windows over the same (ts, event_id) walk — each stage's predicate
+    reads the previous stage's running column, so no per-stage self-join
+    and no re-shuffle (the same window spec chains Window nodes on one
+    Exchange, and the final per-user rollup reuses the subset
+    partitioning). 'After' is by the deterministic (ts, event_id) order,
+    so a same-microsecond earlier-id view legitimately satisfies a click."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = ev.select("user_id", "ts", "event_id", "event_type")
+    d = d.withColumn(
+        "v1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "c1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("v1").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "p1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("c1").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("v1").alias("first_view"),
+        F.min("c1").alias("first_click_after"),
+        F.min("p1").alias("first_purchase_after"),
+    )
+    reached = (
+        F.when(F.col("first_purchase_after").isNotNull(), F.lit(3))
+        .when(F.col("first_click_after").isNotNull(), F.lit(2))
+        .when(F.col("first_view").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return per_user.select(
+        "user_id",
+        "first_view",
+        "first_click_after",
+        "first_purchase_after",
+        reached.alias("reached_stage"),
+    )
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s2 AS (
+  SELECT user_id, ts, event_id, event_type, v1,
+         min(CASE WHEN event_type = 'click' AND v1 IS NOT NULL THEN ts END)
+           OVER w AS c1
+  FROM s1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s3 AS (
+  SELECT user_id, ts, event_id, v1, c1,
+         min(CASE WHEN event_type = 'purchase' AND c1 IS NOT NULL THEN ts END)
+           OVER w AS p1
+  FROM s2
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), u AS (
+  SELECT user_id, min(v1) AS first_view, min(c1) AS first_click_after,
+         min(p1) AS first_purchase_after
+  FROM s3 GROUP BY user_id
+)
+SELECT user_id, first_view, first_click_after, first_purchase_after,
+       CASE WHEN first_purchase_after IS NOT NULL THEN 3
+            WHEN first_click_after IS NOT NULL THEN 2
+            WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS reached_stage
+FROM u
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p90/p99) of event value per event_type,
+    via HISTOGRAM aggregation: groupBy (type, cents) first — a partial agg
+    that collapses 100 TB of rows map-side into at most |value domain|
+    rows per type — then one cumulative window over DISTINCT values only.
+    The naive per-row window (rank over every event) would funnel each
+    type's full row set into one task; this shape's window input is bounded
+    by value cardinality, not row count. All arithmetic is integer (cents,
+    ceil via (a+b-1) div b), so no float quantile interpolation crosses the
+    engine boundary (HALF_UP/HALF_EVEN and interpolation order both differ
+    between engines)."""
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    h = h.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    ranks = {"p50": 50, "p90": 90, "p99": 99}
+    aggs = [F.max("n").alias("n")]
+    for name, p in ranks.items():
+        rank = F.expr(f"(n * {p} + 99) div 100")  # ceil(n*p/100), integer
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("cents"))).alias(
+                f"{name}_cents"
+            )
+        )
+    aggs.append(F.max("cents").alias("max_cents"))
+    return h.groupBy("event_type").agg(*aggs)
+
+
+SQL_PERCENTILES = """
+WITH h AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN cents END) AS p90_cents,
+       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cents END) AS p99_cents,
+       max(cents) AS max_cents
+FROM c GROUP BY event_type
+"""
 
 
 SQL_ASOF = """
@@ -4192,6 +4349,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_windows": (q_event_windows, SQL_WINDOWS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "funnel_stages": (q_funnel_stages, SQL_FUNNEL),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),

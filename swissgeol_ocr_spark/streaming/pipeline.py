@@ -373,6 +373,40 @@ def dedup_stream(docs_stream: DataFrame, watermark: str = "10 minutes") -> DataF
     )
 
 
+def sessionize_stream(
+    events_stream: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming face of the batch ``sessionize`` query: Structured
+    Streaming's built-in ``session_window`` with the same gap. A session's
+    window is half-open — a follow-up event exactly `gap` after the last
+    one starts a NEW session — and the batch query uses ``>=`` on the gap
+    for exactly this reason, so the two faces agree event-for-event
+    (pinned by tests/test_streaming_multimodal.py equality test; the
+    stream's window end is last-event + gap by definition, i.e. batch
+    ``session_end + gap``).
+
+    State per key is one open session (start, last-seen, partial aggs);
+    with a watermark the store evicts sessions older than the horizon, so
+    state is bounded by active users × horizon, not corpus size."""
+    return (
+        events_stream.withColumn(
+            "cents", F.round(F.col("value") * 100).cast("long")
+        )
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("window_start"),
+            F.col("sw.end").alias("window_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
 def minhash_neardup_stream(
     docs_stream: DataFrame,
     index_path: str,

@@ -207,6 +207,60 @@ def test_streaming_dedup_exact(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming session_window face must produce exactly the batch
+    `sessionize` sessions on the same events: same (user, start) key set,
+    same per-session event counts and cent totals, and the stream's
+    half-open window end = batch last-event end + gap. The feed is split
+    into two micro-batch files by event_id parity, so almost every session
+    must be MERGED across micro-batches in the state store — the hard path."""
+    import datetime
+
+    from swissgeol_ocr_spark.plans.queries import q_sessionize
+    from swissgeol_ocr_spark.streaming.pipeline import sessionize_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch_dir = str(tmp_path / "batch")
+    ev.write.parquet(f"{batch_dir}/events.parquet")
+    in_dir = str(tmp_path / "in")
+    ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(in_dir)
+    ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    schema = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream_tbl")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.window_start): r
+        for r in spark.table("sess_stream_tbl").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r
+        for r in q_sessionize(spark, batch_dir).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    gap = datetime.timedelta(minutes=30)
+    for key, b in want.items():
+        s = got[key]
+        assert s.n_events == b.n_events
+        assert s.sum_value_cents == b.sum_value_cents
+        assert s.window_end == b.session_end + gap
+
+
 def test_streaming_neardup_matches_batch(spark, tmp_path):
     """Incremental banded near-dup (foreachBatch against the accumulated
     band index) must produce exactly the batch `dedup_minhash_lsh` pair
