@@ -612,6 +612,113 @@ FROM m WHERE is_probe = 1
 """
 
 
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping ids — the OLAP subtotal surface.
+    One pass over lineitem: Spark expands the cube grouping sets and the
+    partial aggregation still combines map-side before the single shuffle
+    (4 grouping sets × |keys| rows, not 4 scans). Revenue follows the
+    proven join_broadcast_dim idiom (round AFTER sum); quantity sums are
+    integer. grouping_id bit order (first cube column = high bit) matches
+    DuckDB's GROUPING(a, b)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type. The pivot values are EXPLICIT — at corpus scale an implicit
+    pivot runs a distinct-values job first (a full extra pass); with the
+    list given, this is a single combinable groupBy on user_id. DuckDB
+    face: FILTER aggregates, count() naturally 0 where Spark's pivot
+    yields null (coalesced to match)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(
+        F.count(F.lit(1))  # count(*) is rejected inside a pivot aggregate
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted per week-offset of later activity. Three combinable aggregates
+    (per-user first week, distinct user-weeks, final cohort rollup) and
+    one user_id-keyed join — every shuffle key is user_id or the tiny
+    (cohort, offset) pair; nothing quadratic, nothing single-task. Both
+    engines truncate weeks to ISO Monday; offsets are integer day-diffs
+    div 7, no timezone or float in the arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    # weeks stay TIMESTAMP on both faces: a DATE column round-trips as
+    # python date objects on the Spark side but datetime64 on the DuckDB
+    # side, and the driver's stringified value hash sees different text
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    j = weeks.join(first, "user_id")
+    return (
+        j.select(
+            "cohort_week",
+            F.expr("datediff(aw, cohort_week) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+SQL_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), w AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+  FROM events
+)
+SELECT f.cohort_week,
+       datediff('day', f.cohort_week, w.aw) // 7 AS week_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators: dedup family
 # ---------------------------------------------------------------------------
@@ -4351,6 +4458,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_join": (q_asof_join, SQL_ASOF),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL),
+    "cube_rollup": (q_cube_rollup, SQL_CUBE),
+    "pivot_events": (q_pivot_events, SQL_PIVOT),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH),

@@ -312,6 +312,8 @@ SF0001_SPOT = [
     "tfidf_topk", "temperature_mix", "lm_score", "dedup_substrings",
     "training_mix", "corpus_stats", "winnow_fingerprint",
     "semantic_dedup", "winnow_pairs",
+    "sessionize", "asof_join", "percentiles", "funnel_stages",
+    "cube_rollup", "pivot_events", "retention_cohorts",
 ]
 
 
@@ -1229,7 +1231,12 @@ def test_semantic_dedup_invariants_and_reuse(spark):
     assignment subtree. At sf0.01 AQE legitimately broadcasts the tiny
     sides (which recomputes the subtree — cheap at 500 rows, wrong at
     100 TB), so the shape assertion pins the SCALE regime: broadcasts
-    disabled, the plan Catalyst would pick when no side fits in memory."""
+    disabled, the plan Catalyst would pick when no side fits in memory.
+    AQE is ALSO disabled for the shape check: the static ReuseExchange
+    rule is deterministic, while AQE's runtime stage cache was observed
+    to miss the same reuse depending on session history (0 ReusedExchange
+    mid-suite, 2 standalone, identical query) — at runtime AQE reuse is
+    same-or-better, but it is not a stable test pin."""
     from swissgeol_ocr_spark.plans.queries import q_semantic_dedup
 
     df = q_semantic_dedup(spark, SF_DIR)
@@ -1240,11 +1247,14 @@ def test_semantic_dedup_invariants_and_reuse(spark):
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
         )
     }
     try:
         for k in saved:
-            spark.conf.set(k, "-1")
+            spark.conf.set(
+                k, "false" if k == "spark.sql.adaptive.enabled" else "-1"
+            )
         big = q_semantic_dedup(spark, SF_DIR)
         big.collect()
         plan = big._jdf.queryExecution().executedPlan().toString()
