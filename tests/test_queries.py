@@ -1222,6 +1222,74 @@ def test_winnow_fingerprint_matches_paper_algorithm(spark, tmp_path):
         assert 0.1 < frac < 0.8
 
 
+def test_event_family_hand_vectors(spark, tmp_path):
+    """Hand-computed fixture for the event-stream family. The DuckDB
+    oracles prove cross-engine agreement, but both faces could encode the
+    same wrong idea — these vectors pin the SEMANTICS: same-timestamp
+    view-before-click matching (asof), the >= gap rule at an exact 30-min
+    boundary (sessionize), funnel stage ordering (a click with no prior
+    view reaches stage 0 paths), and discrete quantile ranks."""
+    import datetime as dt
+
+    from swissgeol_ocr_spark.plans.queries import (
+        q_asof_join,
+        q_funnel_stages,
+        q_percentiles,
+        q_sessionize,
+    )
+
+    T = lambda h, m: dt.datetime(2024, 3, 1, h, m, 0)
+    rows = [
+        # user 1: view/click at the SAME ts, a 30-min-exact gap, a late view
+        (1, T(10, 0), 1, "view", 1.00, "{}"),
+        (2, T(10, 0), 1, "click", 2.00, "{}"),
+        (3, T(10, 10), 1, "click", 3.00, "{}"),
+        (4, T(10, 40), 1, "purchase", 4.00, "{}"),
+        (5, T(11, 20), 1, "view", 6.00, "{}"),
+        # user 2: click BEFORE any view, then a view with nothing after
+        (6, T(9, 0), 2, "click", 5.00, "{}"),
+        (7, T(9, 5), 2, "purchase", 7.00, "{}"),
+        (8, T(9, 30), 2, "view", 8.00, "{}"),
+    ]
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+
+    asof = {r.click_id: r for r in q_asof_join(spark, d).collect()}
+    assert set(asof) == {2, 3, 6}
+    assert asof[2].matched_view_id == 1 and asof[2].lag_us == 0  # same-ts view
+    assert asof[3].matched_view_id == 1 and asof[3].lag_us == 600 * 1_000_000
+    assert asof[6].matched_view_id is None and asof[6].lag_us is None
+
+    sess = {
+        (r.user_id, r.session_seq): r for r in q_sessionize(spark, d).collect()
+    }
+    # user 1: exactly-30-min gap between e3 and e4 STARTS a new session (>=,
+    # matching session_window's half-open windows)
+    assert sess[(1, 1)].n_events == 3 and sess[(1, 1)].sum_value_cents == 600
+    assert sess[(1, 2)].n_events == 1 and sess[(1, 2)].sum_value_cents == 400
+    assert sess[(1, 3)].n_events == 1
+    assert sess[(2, 1)].n_events == 3  # 5-min and 25-min gaps merge
+    assert len(sess) == 4
+
+    fun = {r.user_id: r for r in q_funnel_stages(spark, d).collect()}
+    assert fun[1].reached_stage == 3
+    assert fun[1].first_view == T(10, 0)
+    assert fun[1].first_click_after == T(10, 0)  # same-ts click qualifies
+    assert fun[1].first_purchase_after == T(10, 40)
+    # user 2's click/purchase precede the first view: stage 1 only
+    assert fun[2].reached_stage == 1
+    assert fun[2].first_click_after is None and fun[2].first_purchase_after is None
+
+    pct = {r.event_type: r for r in q_percentiles(spark, d).collect()}
+    assert pct["click"].n == 3
+    assert pct["click"].p50_cents == 300  # rank ceil(3*50/100)=2 of [200,300,500]
+    assert pct["click"].p90_cents == 500 and pct["click"].max_cents == 500
+    assert pct["view"].p50_cents == 600  # [100,600,800]
+    assert pct["purchase"].n == 2 and pct["purchase"].p50_cents == 400
+
+
 def test_semantic_dedup_invariants_and_reuse(spark):
     """SemDeDup keep-decision invariants plus the multi-consumer plan
     shape: the IVF-assignment subtree ends in ONE canonical Exchange on
