@@ -612,6 +612,69 @@ FROM m WHERE is_probe = 1
 """
 
 
+def q_star_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way star join: local-supplier revenue per
+    nation inside one region and date window. The plan Catalyst should —
+    and does — produce: region/nation/supplier/customer broadcast up the
+    join tree (no fact-side shuffle for any dimension), the date + region
+    predicates pushed into the parquet scans (PushedFilters verified:
+    GreaterThanOrEqual/LessThan on o_orderdate reach the orders scan), and
+    at 100 TB one SMJ shuffle for the lineitem⋈orders fact-fact equi-join
+    (at test SF the filtered orders side fits under the broadcast
+    threshold, so the executed plan is ALL BroadcastHashJoin with the
+    final rollup as the only exchange — strictly better), plus the
+    same-nation (c_nationkey = s_nationkey) constraint applied as a join
+    condition, never as a post-join filter over the cross of nations.
+    Declarative join order is deliberately 'wrong' (facts first) to let
+    the optimizer reorder — the point of the query."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_STAR_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation with grouping ids — the OLAP subtotal surface.
     One pass over lineitem: Spark expands the cube grouping sets and the
@@ -4458,6 +4521,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_join": (q_asof_join, SQL_ASOF),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL),
+    "star_join_q5": (q_star_join_q5, SQL_STAR_Q5),
     "cube_rollup": (q_cube_rollup, SQL_CUBE),
     "pivot_events": (q_pivot_events, SQL_PIVOT),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),

@@ -313,7 +313,7 @@ SF0001_SPOT = [
     "training_mix", "corpus_stats", "winnow_fingerprint",
     "semantic_dedup", "winnow_pairs",
     "sessionize", "asof_join", "percentiles", "funnel_stages",
-    "cube_rollup", "pivot_events", "retention_cohorts",
+    "cube_rollup", "pivot_events", "retention_cohorts", "star_join_q5",
 ]
 
 
