@@ -1290,6 +1290,127 @@ def test_event_family_hand_vectors(spark, tmp_path):
     assert pct["purchase"].n == 2 and pct["purchase"].p50_cents == 400
 
 
+def test_event_family_differential_random(spark, tmp_path):
+    """Seeded randomized differential for sessionize / asof_join /
+    funnel_stages against a pure-python replay: 2,000 events over 30
+    users with planted same-microsecond view+click collisions and
+    exact-30-minute gaps (the two boundary cases), plus ordinary random
+    traffic. The replay is an independent object-at-a-time walk — if the
+    window formulation and the replay agree on every session, match and
+    stage over this space, the declarative plans encode the intended
+    semantics, not a shared artifact."""
+    import datetime as dt
+    import random
+
+    from swissgeol_ocr_spark.plans.queries import (
+        q_asof_join,
+        q_funnel_stages,
+        q_sessionize,
+    )
+
+    rng = random.Random(4242)
+    base = dt.datetime(2024, 6, 1)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    eid = 0
+    for u in range(1, 31):
+        t = base + dt.timedelta(seconds=rng.randrange(0, 3600))
+        for _ in range(rng.randrange(40, 90)):
+            r = rng.random()
+            if r < 0.08:
+                gap = dt.timedelta(minutes=30)  # exact boundary
+            elif r < 0.5:
+                gap = dt.timedelta(seconds=rng.randrange(1, 1700))
+            else:
+                gap = dt.timedelta(seconds=rng.randrange(1800, 7200))
+            t = t + gap
+            if rng.random() < 0.1:
+                # same-microsecond view + click collision
+                rows.append((eid, t, u, "view", rng.randrange(100, 9999) / 100, "{}"))
+                eid += 1
+                rows.append((eid, t, u, "click", rng.randrange(100, 9999) / 100, "{}"))
+                eid += 1
+            else:
+                rows.append(
+                    (eid, t, u, rng.choice(types), rng.randrange(100, 9999) / 100, "{}")
+                )
+                eid += 1
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+
+    by_user: dict[int, list] = {}
+    for eid_, ts, u, typ, val, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid_, typ, val))
+
+    # --- python replay: sessions --------------------------------------
+    want_sessions = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        agg = None
+        for ts, _eid, _typ, val in evs:
+            cents = round(val * 100)
+            if prev is None or (ts - prev) >= dt.timedelta(minutes=30):
+                seq += 1
+                agg = want_sessions[(u, seq)] = {
+                    "n": 0, "cents": 0, "start": ts, "end": ts,
+                }
+            agg["n"] += 1
+            agg["cents"] += cents
+            agg["end"] = ts
+            prev = ts
+    got = q_sessionize(spark, d).collect()
+    assert len(got) == len(want_sessions)
+    for r in got:
+        w = want_sessions[(r.user_id, r.session_seq)]
+        assert (r.n_events, r.sum_value_cents) == (w["n"], w["cents"])
+        assert (r.session_start, r.session_end) == (w["start"], w["end"])
+        assert r.duration_us == int((w["end"] - w["start"]).total_seconds() * 1e6)
+
+    # --- python replay: as-of ------------------------------------------
+    want_asof = {}
+    for u, evs in by_user.items():
+        walk = sorted(
+            (ts, 0 if typ == "view" else 1, e, typ) for ts, e, typ, _ in evs
+            if typ in ("view", "click")
+        )
+        last_view = None
+        for ts, _probe, e, typ in walk:
+            if typ == "view":
+                last_view = (e, ts)
+            else:
+                want_asof[e] = last_view
+    got_asof = {r.click_id: r for r in q_asof_join(spark, d).collect()}
+    assert set(got_asof) == set(want_asof)
+    for cid, r in got_asof.items():
+        w = want_asof[cid]
+        if w is None:
+            assert r.matched_view_id is None and r.lag_us is None
+        else:
+            assert r.matched_view_id == w[0]
+            assert r.lag_us == int((r.click_ts - w[1]).total_seconds() * 1e6)
+
+    # --- python replay: funnel ------------------------------------------
+    got_fun = {r.user_id: r for r in q_funnel_stages(spark, d).collect()}
+    for u, evs in by_user.items():
+        walk = sorted((ts, 0, e, typ) for ts, e, typ, _ in evs)
+        v1 = c1 = p1 = None
+        for ts, _z, _e, typ in walk:
+            if typ == "view" and v1 is None:
+                v1 = ts
+            elif typ == "click" and v1 is not None and c1 is None:
+                c1 = ts
+            elif typ == "purchase" and c1 is not None and p1 is None:
+                p1 = ts
+        r = got_fun[u]
+        assert (r.first_view, r.first_click_after, r.first_purchase_after) == (
+            v1, c1, p1,
+        )
+        assert r.reached_stage == (3 if p1 else 2 if c1 else 1 if v1 else 0)
+
+
 def test_semantic_dedup_invariants_and_reuse(spark):
     """SemDeDup keep-decision invariants plus the multi-consumer plan
     shape: the IVF-assignment subtree ends in ONE canonical Exchange on
