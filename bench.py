@@ -46,6 +46,10 @@ HEADLINE = [
     # the likeliest real workload shapes, tracked round-over-round
     "corpus_curation",
     "stratified_sample",
+    # round 5 (late): one optimizer-heavy OLAP join and one windowed event
+    # walk, so those plan classes are tracked too
+    "star_join_q5",
+    "sessionize",
 ]
 
 
