@@ -538,10 +538,14 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by value cardinality, not row count. All arithmetic is integer (cents,
     ceil via (a+b-1) div b), so no float quantile interpolation crosses the
     engine boundary (HALF_UP/HALF_EVEN and interpolation order both differ
-    between engines)."""
+    between engines). NULL values are excluded from the distribution
+    explicitly: the engines disagree on default null ORDER (Spark NULLS
+    FIRST ascending, DuckDB NULLS LAST), which would shift every
+    cumulative count past the null group."""
     ev = _t(spark, sf_dir, "events")
     h = (
-        ev.select(
+        ev.filter(F.col("value").isNotNull())
+        .select(
             "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
         )
         .groupBy("event_type", "cents")
@@ -573,7 +577,7 @@ SQL_PERCENTILES = """
 WITH h AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
          CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), c AS (
   SELECT event_type, cents, cnt,
          sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
@@ -650,9 +654,16 @@ def q_star_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            # exact integer 1e-4-dollar units: price and discount are both
+            # 2-decimal, so cents × (100 - pct) is an exact long and the
+            # grouped sum is summation-order-free across engines (a double
+            # sum over a large group drifts ~sqrt(n)·eps·|sum| — at corpus
+            # scale that reaches the rounding grid). A true 100 TB rollup
+            # would lift the sum to decimal(38,0); long covers ~9e18.
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4"),
             F.count("*").alias("n_items"),
         )
     )
@@ -660,7 +671,9 @@ def q_star_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STAR_Q5 = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -679,18 +692,22 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation with grouping ids — the OLAP subtotal surface.
     One pass over lineitem: Spark expands the cube grouping sets and the
     partial aggregation still combines map-side before the single shuffle
-    (4 grouping sets × |keys| rows, not 4 scans). Revenue follows the
-    proven join_broadcast_dim idiom (round AFTER sum); quantity sums are
-    integer. grouping_id bit order (first cube column = high bit) matches
-    DuckDB's GROUPING(a, b)."""
+    (4 grouping sets × |keys| rows, not 4 scans). Revenue is summed in
+    exact integer 1e-4-dollar units (2-decimal price × 2-decimal discount):
+    the cube's () grouping set sums the ENTIRE table into one group, where
+    a double sum's ~sqrt(n)·eps·|sum| summation-order drift reaches the
+    0.005 rounding grid at corpus scale and a round-after-sum oracle goes
+    latently flaky. grouping_id bit order (first cube column = high bit)
+    matches DuckDB's GROUPING(a, b)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4"),
             F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
             F.grouping_id().cast("long").alias("gid"),
         )
@@ -700,7 +717,9 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUBE = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -220,8 +220,6 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
     from swissgeol_ocr_spark.streaming.pipeline import sessionize_stream
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    batch_dir = str(tmp_path / "batch")
-    ev.write.parquet(f"{batch_dir}/events.parquet")
     in_dir = str(tmp_path / "in")
     ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(in_dir)
     ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.mode(
@@ -250,7 +248,7 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
     }
     want = {
         (r.user_id, r.session_start): r
-        for r in q_sessionize(spark, batch_dir).collect()
+        for r in q_sessionize(spark, sf_dir).collect()
     }
     assert set(got) == set(want) and len(want) > 0
     gap = datetime.timedelta(minutes=30)
