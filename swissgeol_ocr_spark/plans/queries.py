@@ -23,6 +23,11 @@ Operator ↔ reference mapping (file:line in /root/reference):
                          session window; one user_id exchange)
   asof_join              point-in-time as-of join via union-tag +
                          last(ignorenulls) — linear, never range-explosion
+  funnel_stages          sequential funnel as chained running-min windows
+  percentiles            exact quantiles via histogram aggregation
+  star_join_q5           TPC-H Q5-shaped multi-way star join
+  cube_rollup / pivot_events / retention_cohorts — OLAP subtotal, pivot
+                         and cohort surfaces
 plus the training-data family documented in functions/textops.py and
 functions/simsearch.py.
 """

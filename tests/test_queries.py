@@ -1392,6 +1392,23 @@ def test_event_family_differential_random(spark, tmp_path):
             assert r.matched_view_id == w[0]
             assert r.lag_us == int((r.click_ts - w[1]).total_seconds() * 1e6)
 
+    # --- python replay: percentiles --------------------------------------
+    from swissgeol_ocr_spark.plans.queries import q_percentiles
+
+    by_type: dict[str, list[int]] = {}
+    for _eid, _ts, _u, typ, val, _p in rows:
+        by_type.setdefault(typ, []).append(round(val * 100))
+    got_pct = {r.event_type: r for r in q_percentiles(spark, d).collect()}
+    assert set(got_pct) == set(by_type)
+    for typ, cents in by_type.items():
+        cents.sort()
+        n = len(cents)
+        r = got_pct[typ]
+        assert r.n == n and r.max_cents == cents[-1]
+        for p, field in ((50, "p50_cents"), (90, "p90_cents"), (99, "p99_cents")):
+            rank = (n * p + 99) // 100  # ceil
+            assert getattr(r, field) == cents[rank - 1], (typ, p)
+
     # --- python replay: funnel ------------------------------------------
     got_fun = {r.user_id: r for r in q_funnel_stages(spark, d).collect()}
     for u, evs in by_user.items():
