@@ -621,6 +621,60 @@ FROM m WHERE is_probe = 1
 """
 
 
+# RAG-style chunking: words per chunk / stride (overlap = CHUNK_W - CHUNK_STRIDE)
+CHUNK_W, CHUNK_STRIDE = 64, 48
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks (the RAG ingestion primitive): each
+    document split into CHUNK_W-word windows every CHUNK_STRIDE words,
+    the last chunk ragged. MAP-ONLY — words array materialized once (the
+    HOF re-evaluation trap), chunk starts from sequence(), one explode,
+    md5 chunk fingerprints; the executed plan has ZERO Exchanges, so at
+    100 TB this is scan-bandwidth-bound by construction, like pii_scrub.
+    Chunk text itself is not emitted (the fingerprint pins it) — at corpus
+    scale the ~1.33× text blow-up of overlapping chunks is the sink's
+    decision, not the operator's."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", textops.words(F.col("text")).alias("warr"))
+    d = d.filter(F.size("warr") > 0).select(
+        "doc_id",
+        "warr",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("warr") - 1, F.lit(CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("warr"), F.col("start") + 1, CHUNK_W)
+    return d.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_word"),
+        F.least(F.lit(CHUNK_W), F.size("warr") - F.col("start"))
+        .cast("long")
+        .alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+SQL_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS warr FROM documents
+), s AS (
+  SELECT doc_id, warr,
+         unnest(range(0, len(warr), {CHUNK_STRIDE})) AS start
+  FROM w WHERE len(warr) > 0
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_word,
+       CAST(least({CHUNK_W}, len(warr) - start) AS BIGINT) AS n_words,
+       md5(array_to_string(warr[start + 1 : start + {CHUNK_W}], ' ')) AS chunk_fp
+FROM s
+"""
+
+
 def q_star_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-way star join: local-supplier revenue per
     nation inside one region and date window. The plan Catalyst should —
@@ -4546,6 +4600,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL),
     "star_join_q5": (q_star_join_q5, SQL_STAR_Q5),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
     "cube_rollup": (q_cube_rollup, SQL_CUBE),
     "pivot_events": (q_pivot_events, SQL_PIVOT),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),

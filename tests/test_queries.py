@@ -314,6 +314,7 @@ SF0001_SPOT = [
     "semantic_dedup", "winnow_pairs",
     "sessionize", "asof_join", "percentiles", "funnel_stages",
     "cube_rollup", "pivot_events", "retention_cohorts", "star_join_q5",
+    "chunk_documents",
 ]
 
 
@@ -1220,6 +1221,59 @@ def test_winnow_fingerprint_matches_paper_algorithm(spark, tmp_path):
     for d in long_docs:
         frac = want[d][1] / want[d][0]
         assert 0.1 < frac < 0.8
+
+
+def test_chunk_documents_invariants(spark, tmp_path):
+    """Chunking invariants on crafted docs + the zero-Exchange plan claim:
+    starts advance by CHUNK_STRIDE, every word lands in some chunk, only
+    the tail chunk is ragged, and the fingerprint really is the md5 of the
+    exact word window."""
+    import hashlib
+
+    from swissgeol_ocr_spark.plans.queries import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        q_chunk_documents,
+    )
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(CHUNK_W)),          # exactly one window
+        2: " ".join(f"x{i}" for i in range(10)),               # short doc
+        3: " ".join(f"y{i}" for i in range(CHUNK_W * 3 + 7)),  # ragged tail
+        4: "solo",
+    }
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(k, "s", v) for k, v in texts.items()], "doc_id long, source string, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    rows = q_chunk_documents(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        wlist = texts[doc_id].split(" ")
+        n = len(wlist)
+        chunks.sort(key=lambda r: r.chunk_idx)
+        starts = [r.start_word for r in chunks]
+        assert starts == list(range(0, n, CHUNK_STRIDE))
+        covered = set()
+        for r in chunks:
+            assert r.n_words == min(CHUNK_W, n - r.start_word)
+            window = wlist[r.start_word : r.start_word + CHUNK_W]
+            assert r.chunk_fp == hashlib.md5(" ".join(window).encode()).hexdigest()
+            covered.update(range(r.start_word, r.start_word + r.n_words))
+        assert covered == set(range(n))  # no word dropped
+    assert by_doc[2][0].n_words == 10 and len(by_doc[2]) == 1
+    assert by_doc[4][0].n_words == 1  # single-word doc yields one chunk
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_chunk_documents(spark, d).explain("formatted")
+    assert "Exchange" not in buf.getvalue()  # map-only at any scale
 
 
 def test_event_family_hand_vectors(spark, tmp_path):
