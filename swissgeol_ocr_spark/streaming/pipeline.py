@@ -407,6 +407,92 @@ def sessionize_stream(
     )
 
 
+_ASOF_OUT = (
+    "click_id long, user_id long, click_ts timestamp_ntz, "
+    "matched_view_id long, lag_us long"
+)
+_ASOF_STATE = "view_id long, view_ts_us long"
+
+
+def _asof_enrich(key, pdf_iter, state):
+    """Per-user as-of state walk (module-level so tests can drive it with
+    a fake GroupState): state holds the latest view (id, epoch-µs) seen so
+    far in stream order; each click emits that view. Batch slices are
+    sorted by (ts, is_probe, event_id) — the batch query's exact tie-break
+    — so a same-microsecond view still precedes its click."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        view_id, view_ts_us = state.get
+    else:
+        view_id, view_ts_us = None, None
+    out = {k: [] for k in ("click_id", "click_ts", "matched_view_id", "lag_us")}
+    for pdf in pdf_iter:
+        # normalize to ns first: Arrow hands pandas datetime64[us] here but
+        # datetime64[ns] elsewhere, and a bare astype(int64) silently
+        # yields unit-dependent integers
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        pdf = pdf.assign(
+            _probe=(pdf["event_type"] != "view").astype("int64"),
+            _ts_us=ts_us,
+        ).sort_values(["_ts_us", "_probe", "event_id"])
+        for _, row in pdf.iterrows():
+            if row["event_type"] == "view":
+                view_id, view_ts_us = int(row["event_id"]), int(row["_ts_us"])
+            elif row["event_type"] == "click":
+                out["click_id"].append(int(row["event_id"]))
+                out["click_ts"].append(row["ts"])
+                out["matched_view_id"].append(view_id)
+                out["lag_us"].append(
+                    None if view_ts_us is None else int(row["_ts_us"]) - view_ts_us
+                )
+    if view_id is not None or state.exists:
+        state.update((view_id, view_ts_us))
+    if not out["click_id"]:
+        return iter(())
+    n = len(out["click_id"])
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "click_id": pd.Series(out["click_id"], dtype="int64"),
+                    "user_id": pd.Series([user_id] * n, dtype="int64"),
+                    "click_ts": out["click_ts"],
+                    "matched_view_id": pd.Series(
+                        out["matched_view_id"], dtype="Int64"
+                    ),
+                    "lag_us": pd.Series(out["lag_us"], dtype="Int64"),
+                }
+            )
+        ]
+    )
+
+
+def asof_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming face of the batch ``asof_join``: clicks enriched with the
+    latest prior-or-equal view per user, as per-user state
+    (applyInPandasWithState keyed on user_id; state = ONE (view_id, ts)
+    pair — constant per active user, not history-sized). Correct for
+    per-user event-time-ordered feeds (the kafka-partition-by-user
+    deployment shape); an out-of-order feed needs a watermark-buffered
+    variant, exactly as the batch query's window needs its sort. Equality
+    with the batch face is pinned in tests across split micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_enrich,
+            outputStructType=_ASOF_OUT,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def minhash_neardup_stream(
     docs_stream: DataFrame,
     index_path: str,

@@ -259,6 +259,60 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
         assert s.window_end == b.session_end + gap
 
 
+def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming as-of enrichment must produce exactly the batch
+    `asof_join` result on an in-order feed: events split at the time
+    median into two micro-batch files (per-user event-time order holds
+    across batches — the kafka-partition-by-user deployment shape), so
+    clicks in the second batch must match views remembered in STATE from
+    the first."""
+    from swissgeol_ocr_spark.plans.queries import q_asof_join
+    from swissgeol_ocr_spark.streaming.pipeline import asof_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    in_dir = str(tmp_path / "in")
+    ev.filter(F.col("ts") <= mid).repartition(1).write.parquet(in_dir)
+    ev.filter(F.col("ts") > mid).repartition(1).write.mode("append").parquet(in_dir)
+
+    schema = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        asof_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.click_id: r for r in spark.read.parquet(out_dir).collect()}
+    want = {r.click_id: r for r in q_asof_join(spark, sf_dir).collect()}
+    ev.unpersist()
+    assert set(got) == set(want) and len(want) > 0
+    for cid, w in want.items():
+        g = got[cid]
+        assert (g.matched_view_id, g.lag_us, g.user_id) == (
+            w.matched_view_id, w.lag_us, w.user_id,
+        )
+    # the hard path really ran: some second-batch click matched a view
+    # that only state could remember across the micro-batch boundary
+    # (view_ts reconstructed as click_ts - lag)
+    import datetime as dt
+
+    assert any(
+        g.matched_view_id is not None
+        and g.click_ts > mid
+        and g.click_ts - dt.timedelta(microseconds=g.lag_us) <= mid
+        for g in got.values()
+    )
+
+
 def test_streaming_neardup_matches_batch(spark, tmp_path):
     """Incremental banded near-dup (foreachBatch against the accumulated
     band index) must produce exactly the batch `dedup_minhash_lsh` pair
