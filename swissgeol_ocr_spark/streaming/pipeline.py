@@ -493,6 +493,87 @@ def asof_stream(events_stream: DataFrame) -> DataFrame:
     )
 
 
+_FUNNEL_OUT = (
+    "user_id long, reached_stage int, first_view timestamp_ntz, "
+    "first_click_after timestamp_ntz, first_purchase_after timestamp_ntz"
+)
+_FUNNEL_STATE = "v1_us long, c1_us long, p1_us long"
+
+
+def _funnel_advance(key, pdf_iter, state):
+    """Per-user funnel state walk: (first view, first click at-or-after it,
+    first purchase at-or-after that) as three nullable epoch-µs longs.
+    Emits ONE row per micro-batch in which the user's stage ADVANCED
+    (change-data style) carrying the full first-reach triple — downstream
+    keeps the latest row per user. Batch slices sort by (ts, event_id),
+    the batch query's walk order."""
+    import pandas as pd
+
+    def _stage(v1, c1, p1):
+        return (
+            3 if p1 is not None else 2 if c1 is not None
+            else 1 if v1 is not None else 0
+        )
+
+    (user_id,) = key
+    v1, c1, p1 = state.get if state.exists else (None, None, None)
+    stage0 = _stage(v1, c1, p1)
+    for pdf in pdf_iter:
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        pdf = pdf.assign(_ts_us=ts_us).sort_values(["_ts_us", "event_id"])
+        for typ, t in zip(pdf["event_type"], pdf["_ts_us"]):
+            if typ == "view" and v1 is None:
+                v1 = int(t)
+            elif typ == "click" and v1 is not None and c1 is None:
+                c1 = int(t)
+            elif typ == "purchase" and c1 is not None and p1 is None:
+                p1 = int(t)
+    stage = _stage(v1, c1, p1)
+    if stage == stage0:
+        return iter(())
+    state.update((v1, c1, p1))
+
+    def _ts(us):
+        return pd.NaT if us is None else pd.Timestamp(us, unit="us")
+
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id], dtype="int64"),
+                    "reached_stage": pd.Series([stage], dtype="int32"),
+                    "first_view": [_ts(v1)],
+                    "first_click_after": [_ts(c1)],
+                    "first_purchase_after": [_ts(p1)],
+                }
+            )
+        ]
+    )
+
+
+def funnel_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming face of the batch ``funnel_stages`` query, change-data
+    style: a row per (user, micro-batch) where the funnel stage advanced;
+    the latest row per user is the batch result for users past stage 0.
+    State is three nullable epoch-µs longs per active user — constant
+    size. Same in-order-feed contract as ``asof_stream``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_advance,
+            outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def minhash_neardup_stream(
     docs_stream: DataFrame,
     index_path: str,

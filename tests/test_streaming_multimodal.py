@@ -313,6 +313,74 @@ def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming change-data funnel must converge to the batch
+    `funnel_stages` result: per user, the LAST emitted row (highest stage)
+    carries the batch first-reach triple; users at stage 0 never emit.
+    Split at the time median so stage advances span micro-batches."""
+    from swissgeol_ocr_spark.plans.queries import q_funnel_stages
+    from swissgeol_ocr_spark.streaming.pipeline import funnel_stream
+
+    import datetime as dt
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = base.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    # planted user 999999 advances in BOTH halves — view before the split,
+    # click+purchase after — so the cross-batch change-data path is
+    # deterministic even on a sparse corpus
+    schema = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string")
+    planted = spark.createDataFrame(
+        [
+            (90000001, mid - dt.timedelta(hours=1), 999999, "view", 1.0, "{}"),
+            (90000002, mid + dt.timedelta(hours=1), 999999, "click", 2.0, "{}"),
+            (90000003, mid + dt.timedelta(hours=2), 999999, "purchase", 3.0, "{}"),
+        ],
+        schema,
+    )
+    ev = base.unionByName(planted).cache()
+    batch_dir = str(tmp_path / "batch")
+    ev.write.parquet(f"{batch_dir}/events.parquet")
+    in_dir = str(tmp_path / "in")
+    ev.filter(F.col("ts") <= mid).repartition(1).write.parquet(in_dir)
+    ev.filter(F.col("ts") > mid).repartition(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    latest: dict[int, object] = {}
+    n_emits: dict[int, int] = {}
+    for r in spark.read.parquet(out_dir).collect():
+        n_emits[r.user_id] = n_emits.get(r.user_id, 0) + 1
+        if r.user_id not in latest or r.reached_stage > latest[r.user_id].reached_stage:
+            latest[r.user_id] = r
+    want = {r.user_id: r for r in q_funnel_stages(spark, batch_dir).collect()}
+    ev.unpersist()
+
+    assert set(latest) == {u for u, w in want.items() if w.reached_stage > 0}
+    for u, g in latest.items():
+        w = want[u]
+        assert g.reached_stage == w.reached_stage
+        assert g.first_view == w.first_view
+        assert (g.first_click_after, g.first_purchase_after) == (
+            w.first_click_after, w.first_purchase_after,
+        )
+    # change-data semantics really engaged: the planted user emitted one
+    # row per micro-batch (stage 1 in the first, stage 3 in the second)
+    assert n_emits[999999] == 2 and latest[999999].reached_stage == 3
+
+
 def test_streaming_neardup_matches_batch(spark, tmp_path):
     """Incremental banded near-dup (foreachBatch against the accumulated
     band index) must produce exactly the batch `dedup_minhash_lsh` pair
