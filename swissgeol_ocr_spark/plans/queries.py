@@ -649,7 +649,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.slice(F.col("warr"), F.col("start") + 1, CHUNK_W)
     return d.select(
         "doc_id",
-        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        # integer div, not float-divide-then-cast (the engine-portable rule:
+        # DuckDB CAST(double) rounds where Spark truncates)
+        F.expr(f"start div {CHUNK_STRIDE}").cast("long").alias("chunk_idx"),
         F.col("start").cast("long").alias("start_word"),
         F.least(F.lit(CHUNK_W), F.size("warr") - F.col("start"))
         .cast("long")

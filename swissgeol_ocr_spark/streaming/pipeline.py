@@ -414,21 +414,35 @@ _ASOF_OUT = (
 _ASOF_STATE = "view_id long, view_ts_us long"
 
 
-def _asof_enrich(key, pdf_iter, state):
+def _asof_enrich(key, pdf_iter, state, ttl_ms=None):
     """Per-user as-of state walk (module-level so tests can drive it with
     a fake GroupState): state holds the latest view (id, epoch-µs) seen so
     far in stream order; each click emits that view. Batch slices are
     sorted by (ts, is_probe, event_id) — the batch query's exact tie-break
-    — so a same-microsecond view still precedes its click."""
+    — so a same-microsecond view still precedes its click. With ttl_ms
+    set, the processing-time timeout is re-armed on every activity and an
+    idle user's state is evicted (their next click then matches no view —
+    the documented recall trade-off of bounding state)."""
     import pandas as pd
 
     (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return iter(())
     if state.exists:
         view_id, view_ts_us = state.get
     else:
         view_id, view_ts_us = None, None
     out = {k: [] for k in ("click_id", "click_ts", "matched_view_id", "lag_us")}
-    for pdf in pdf_iter:
+    # concat BEFORE sorting: the state shuffle hands a group's micro-batch
+    # slice as multiple Arrow chunks (arrow.maxRecordsPerBatch = 1024 in
+    # configure_spark) with NO cross-chunk ordering — sorting per chunk
+    # would walk events out of event-time order for any user with >1024
+    # rows in one trigger. The concat is bounded by one user's volume in
+    # one micro-batch, the same bound the walk itself needs.
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         # normalize to ns first: Arrow hands pandas datetime64[us] here but
         # datetime64[ns] elsewhere, and a bare astype(int64) silently
         # yields unit-dependent integers
@@ -437,18 +451,22 @@ def _asof_enrich(key, pdf_iter, state):
             _probe=(pdf["event_type"] != "view").astype("int64"),
             _ts_us=ts_us,
         ).sort_values(["_ts_us", "_probe", "event_id"])
-        for _, row in pdf.iterrows():
-            if row["event_type"] == "view":
-                view_id, view_ts_us = int(row["event_id"]), int(row["_ts_us"])
-            elif row["event_type"] == "click":
-                out["click_id"].append(int(row["event_id"]))
-                out["click_ts"].append(row["ts"])
+        for typ, eid, t_us, ts in zip(
+            pdf["event_type"], pdf["event_id"], pdf["_ts_us"], pdf["ts"]
+        ):
+            if typ == "view":
+                view_id, view_ts_us = int(eid), int(t_us)
+            elif typ == "click":
+                out["click_id"].append(int(eid))
+                out["click_ts"].append(ts)
                 out["matched_view_id"].append(view_id)
                 out["lag_us"].append(
-                    None if view_ts_us is None else int(row["_ts_us"]) - view_ts_us
+                    None if view_ts_us is None else int(t_us) - view_ts_us
                 )
     if view_id is not None or state.exists:
         state.update((view_id, view_ts_us))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
     if not out["click_id"]:
         return iter(())
     n = len(out["click_id"])
@@ -469,26 +487,39 @@ def _asof_enrich(key, pdf_iter, state):
     )
 
 
-def asof_stream(events_stream: DataFrame) -> DataFrame:
+def asof_stream(
+    events_stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming face of the batch ``asof_join``: clicks enriched with the
     latest prior-or-equal view per user, as per-user state
     (applyInPandasWithState keyed on user_id; state = ONE (view_id, ts)
-    pair — constant per active user, not history-sized). Correct for
-    per-user event-time-ordered feeds (the kafka-partition-by-user
-    deployment shape); an out-of-order feed needs a watermark-buffered
-    variant, exactly as the batch query's window needs its sort. Equality
-    with the batch face is pinned in tests across split micro-batches."""
+    pair per user). By default state is never evicted — bounded by
+    ALL-TIME distinct-user cardinality, not 'active' users; pass
+    state_ttl_ms to evict idle users via a processing-time timeout (an
+    evicted user's later click then matches no view — eviction is a
+    recall trade-off, which is why it is opt-in). Correct for per-user
+    event-time-ordered feeds (the kafka-partition-by-user deployment
+    shape); an out-of-order feed needs a watermark-buffered variant,
+    exactly as the batch query's window needs its sort. Equality with the
+    batch face is pinned in tests across split micro-batches."""
+    import functools
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events_stream.filter(F.col("event_type").isin("view", "click"))
         .groupBy("user_id")
         .applyInPandasWithState(
-            _asof_enrich,
+            functools.partial(_asof_enrich, ttl_ms=state_ttl_ms),
             outputStructType=_ASOF_OUT,
             stateStructType=_ASOF_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
@@ -500,7 +531,7 @@ _FUNNEL_OUT = (
 _FUNNEL_STATE = "v1_us long, c1_us long, p1_us long"
 
 
-def _funnel_advance(key, pdf_iter, state):
+def _funnel_advance(key, pdf_iter, state, ttl_ms=None):
     """Per-user funnel state walk: (first view, first click at-or-after it,
     first purchase at-or-after that) as three nullable epoch-µs longs.
     Emits ONE row per micro-batch in which the user's stage ADVANCED
@@ -516,9 +547,16 @@ def _funnel_advance(key, pdf_iter, state):
         )
 
     (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return iter(())
     v1, c1, p1 = state.get if state.exists else (None, None, None)
     stage0 = _stage(v1, c1, p1)
-    for pdf in pdf_iter:
+    # concat before sorting — chunks carry no cross-chunk order (see
+    # _asof_enrich)
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         pdf = pdf.assign(_ts_us=ts_us).sort_values(["_ts_us", "event_id"])
         for typ, t in zip(pdf["event_type"], pdf["_ts_us"]):
@@ -530,8 +568,13 @@ def _funnel_advance(key, pdf_iter, state):
                 p1 = int(t)
     stage = _stage(v1, c1, p1)
     if stage == stage0:
+        if ttl_ms is not None and state.exists:
+            state.update((v1, c1, p1))  # re-arm the idle clock on activity
+            state.setTimeoutDuration(ttl_ms)
         return iter(())
     state.update((v1, c1, p1))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
 
     def _ts(us):
         return pd.NaT if us is None else pd.Timestamp(us, unit="us")
@@ -551,25 +594,36 @@ def _funnel_advance(key, pdf_iter, state):
     )
 
 
-def funnel_stream(events_stream: DataFrame) -> DataFrame:
+def funnel_stream(
+    events_stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming face of the batch ``funnel_stages`` query, change-data
     style: a row per (user, micro-batch) where the funnel stage advanced;
     the latest row per user is the batch result for users past stage 0.
-    State is three nullable epoch-µs longs per active user — constant
-    size. Same in-order-feed contract as ``asof_stream``."""
+    State is three nullable epoch-µs longs per user; by default never
+    evicted (bounded by ALL-TIME user cardinality), opt-in idle eviction
+    via state_ttl_ms — an evicted user's funnel restarts, the same recall
+    trade-off as ``asof_stream``. Same in-order-feed contract too."""
+    import functools
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events_stream.filter(
             F.col("event_type").isin("view", "click", "purchase")
         )
         .groupBy("user_id")
         .applyInPandasWithState(
-            _funnel_advance,
+            functools.partial(_funnel_advance, ttl_ms=state_ttl_ms),
             outputStructType=_FUNNEL_OUT,
             stateStructType=_FUNNEL_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -875,6 +875,89 @@ def test_decode_raster_fuzz_never_raises():
             assert half is None
 
 
+def test_asof_state_ttl_eviction_and_chunk_order():
+    """Drives _asof_enrich directly with a fake GroupState: (1) the TTL
+    path re-arms the idle clock on activity and evicts on timeout — the
+    evicted user's next click matches NO view (the documented recall
+    trade-off); (2) a micro-batch arriving as MULTIPLE unordered Arrow
+    chunks is concatenated before the sort, so a click in an early chunk
+    still matches a view carried in a later chunk with an earlier
+    timestamp (the >1024-rows-per-user case)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from swissgeol_ocr_spark.streaming.pipeline import _asof_enrich
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.armed_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            assert self._v is not None
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.armed_ms = ms
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]) for r in rows],
+                "user_id": [7] * len(rows),
+                "event_type": [r[2] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    T = lambda m: dt.datetime(2024, 5, 1, 12, m)
+    state = FakeState()
+
+    # chunk-order hardening: click (chunk 1) precedes its view (chunk 2)
+    # in ARRIVAL order but follows it in event time
+    out = list(
+        _asof_enrich(
+            (7,),
+            iter([pdf([(2, T(10), "click")]), pdf([(1, T(5), "view")])]),
+            state,
+            ttl_ms=60_000,
+        )
+    )
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["matched_view_id"] == 1 and row["lag_us"] == 5 * 60 * 1_000_000
+    assert state.exists and state.armed_ms == 60_000  # TTL re-armed
+
+    # timeout fires: state evicted, nothing emitted
+    state.hasTimedOut = True
+    assert list(_asof_enrich((7,), iter([]), state, ttl_ms=60_000)) == []
+    assert not state.exists
+
+    # post-eviction click: no remembered view to match
+    state.hasTimedOut = False
+    out = list(
+        _asof_enrich((7,), iter([pdf([(3, T(20), "click")])]), state, ttl_ms=60_000)
+    )
+    assert out[0].iloc[0]["matched_view_id"] is None or pd.isna(
+        out[0].iloc[0]["matched_view_id"]
+    )
+
+
 def test_timeout_quarantine_leaves_tombstone():
     """A straggler span arriving AFTER a timeout quarantine must be ignored
     (timeout-path tombstone, mirroring the ok-path DONE tombstone) — it must
