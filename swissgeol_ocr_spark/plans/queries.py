@@ -333,6 +333,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: pull a typed field out of the events
+    table's JSON props column and roll it up per event_type. JSON
+    extraction stays JVM-side (get_json_object — codegen'd Jackson path,
+    no Python) and the rollup is one combinable groupBy; at 100 TB the
+    cost is the scan plus one tiny shuffle. Sums are integers (k is an
+    integer field) so nothing float crosses the engine boundary; rows
+    with unparsable/missing k are counted, not dropped silently."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    d = ev.select("event_type", k.alias("k"))
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+SQL_JSON_STATS = """
+WITH d AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM d GROUP BY event_type
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: per-user sessions split on ≥30 min of
     inactivity — the standard event-stream building block. The streaming
@@ -4597,6 +4633,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "join_broadcast_dim": (q_join_broadcast_dim, SQL_JOIN),
     "topk_orders": (q_topk_orders, SQL_TOPK),
     "event_windows": (q_event_windows, SQL_WINDOWS),
+    "json_extract_stats": (q_json_extract_stats, SQL_JSON_STATS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF),
     "percentiles": (q_percentiles, SQL_PERCENTILES),

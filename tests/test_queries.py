@@ -314,7 +314,7 @@ SF0001_SPOT = [
     "semantic_dedup", "winnow_pairs",
     "sessionize", "asof_join", "percentiles", "funnel_stages",
     "cube_rollup", "pivot_events", "retention_cohorts", "star_join_q5",
-    "chunk_documents",
+    "chunk_documents", "json_extract_stats",
 ]
 
 
