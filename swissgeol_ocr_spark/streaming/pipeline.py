@@ -374,7 +374,9 @@ def dedup_stream(docs_stream: DataFrame, watermark: str = "10 minutes") -> DataF
 
 
 def sessionize_stream(
-    events_stream: DataFrame, gap: str = "30 minutes"
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming face of the batch ``sessionize`` query: Structured
     Streaming's built-in ``session_window`` with the same gap. A session's
@@ -385,22 +387,40 @@ def sessionize_stream(
     stream's window end is last-event + gap by definition, i.e. batch
     ``session_end + gap``).
 
-    State per key is one open session (start, last-seen, partial aggs);
-    with a watermark the store evicts sessions older than the horizon, so
-    state is bounded by active users × horizon, not corpus size."""
+    State per key is one open session (start, last-seen, partial aggs).
+    Pass ``watermark`` for the deployment shape: append mode then emits a
+    session once the event-time watermark passes its close, and the state
+    store evicts it — state bounded by active users × horizon, not corpus
+    size. Without it (the tests' complete-mode form) sessions are never
+    finalized out of state. Watermarks require TIMESTAMP (not NTZ), so
+    the watermark path casts through the session timezone and back —
+    lossless under any fixed session tz (the one theoretical exception is
+    the repeated wall-clock hour of a DST fall-back under a DST session
+    tz; run pipelines under UTC, as everything here is)."""
+    ts_col = "ts"
+    if watermark is not None:
+        ts_col = "_ts_evt"
+        events_stream = events_stream.withColumn(
+            ts_col, F.col("ts").cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+    win_start = F.col("sw.start")
+    win_end = F.col("sw.end")
+    if watermark is not None:
+        win_start = win_start.cast("timestamp_ntz")
+        win_end = win_end.cast("timestamp_ntz")
     return (
         events_stream.withColumn(
             "cents", F.round(F.col("value") * 100).cast("long")
         )
-        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .groupBy("user_id", F.session_window(ts_col, gap).alias("sw"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum("cents").alias("sum_value_cents"),
         )
         .select(
             "user_id",
-            F.col("sw.start").alias("window_start"),
-            F.col("sw.end").alias("window_end"),
+            win_start.alias("window_start"),
+            win_end.alias("window_end"),
             "n_events",
             "sum_value_cents",
         )

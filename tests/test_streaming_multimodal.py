@@ -258,6 +258,30 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
         assert s.sum_value_cents == b.sum_value_cents
         assert s.window_end == b.session_end + gap
 
+    # deployment shape: append mode + watermark emits FINALIZED sessions
+    # only — every emitted session must be exactly its batch twin (a
+    # subset: sessions still open when the last watermark advanced stay
+    # in state), and the watermark must have finalized at least one
+    q2 = (
+        sessionize_stream(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in_dir),
+            watermark="0 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_stream_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    finalized = spark.table("sess_stream_append").collect()
+    assert len(finalized) > 0
+    for r in finalized:
+        b = want[(r.user_id, r.window_start)]
+        assert (r.n_events, r.sum_value_cents) == (b.n_events, b.sum_value_cents)
+
 
 def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
     """The streaming as-of enrichment must produce exactly the batch
