@@ -8,7 +8,7 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 
 ``value`` is the total wall time of the headline suite; ``queries`` maps
 each query to its seconds. The flagship extraction also reports docs/sec.
-Noise protocol: SPARK_GRAFT_BENCH_PASSES (default 3) interleaved passes
+Noise protocol: SPARK_GRAFT_BENCH_PASSES (default 5) interleaved passes
 over the whole suite, per-query minimum + peak docs/sec — same best-of
 shape as --scaling, so the recorded headline is not a one-shot coin flip
 on a drifting shared host.
