@@ -340,9 +340,12 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python) and the rollup is one combinable groupBy; at 100 TB the
     cost is the scan plus one tiny shuffle. Sums are integers (k is an
     integer field) so nothing float crosses the engine boundary; rows
-    with unparsable/missing k are counted, not dropped silently."""
+    with unparsable/missing k are counted, not dropped silently. try_cast,
+    not cast: under ANSI mode (Spark 4 default) a single non-numeric k
+    anywhere in a 100 TB crawl would otherwise throw and kill the job —
+    caught by the planted-malformed-props test."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     d = ev.select("event_type", k.alias("k"))
     return d.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -356,7 +359,7 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_STATS = """
 WITH d AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,

@@ -1223,6 +1223,32 @@ def test_winnow_fingerprint_matches_paper_algorithm(spark, tmp_path):
         assert 0.1 < frac < 0.8
 
 
+def test_json_extract_malformed_props(spark, tmp_path):
+    """Malformed / missing / wrong-type JSON must degrade to NULL k (the
+    n_with_k < n_events accounting), never raise — the Spark face's
+    get_json_object contract a 100 TB crawl depends on."""
+    from swissgeol_ocr_spark.plans.queries import q_json_extract_stats
+
+    rows = [
+        (1, None, 1, "view", 1.0, '{"k": 5}'),
+        (2, None, 1, "view", 1.0, "{not json"),
+        (3, None, 1, "view", 1.0, None),
+        (4, None, 1, "view", 1.0, '{"other": 1}'),
+        (5, None, 1, "view", 1.0, '{"k": "str"}'),  # non-integer k
+        (6, None, 1, "view", 1.0, '{"k": 7}'),
+    ]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    (r,) = q_json_extract_stats(spark, d).collect()
+    assert r.n_events == 6
+    assert r.n_with_k == 2  # only the two well-formed integer ks
+    assert (r.sum_k, r.min_k, r.max_k) == (12, 5, 7)
+
+
 def test_chunk_documents_invariants(spark, tmp_path):
     """Chunking invariants on crafted docs + the zero-Exchange plan claim:
     starts advance by CHUNK_STRIDE, every word lands in some chunk, only
