@@ -343,9 +343,13 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with unparsable/missing k are counted, not dropped silently. try_cast,
     not cast: under ANSI mode (Spark 4 default) a single non-numeric k
     anywhere in a 100 TB crawl would otherwise throw and kill the job —
-    caught by the planted-malformed-props test."""
+    caught by the planted-malformed-props test. An explicit integer-shape
+    guard precedes the cast on BOTH faces: the engines' lenient numeric
+    casts disagree ('5.7' → NULL in Spark try_cast, 6 in DuckDB TRY_CAST),
+    so only ^-?[0-9]+$ strings are accepted as k."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    raw = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw).try_cast("long")
     d = ev.select("event_type", k.alias("k"))
     return d.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -358,8 +362,19 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_STATS = """
 WITH d AS (
+  -- json_valid guard: DuckDB's json_extract_string THROWS on malformed
+  -- JSON (the implicit VARCHAR->JSON cast), where Spark's get_json_object
+  -- returns NULL; the regexp guard mirrors the Spark face's integer-shape
+  -- rule (lenient numeric casts disagree across engines on '5.7')
+  -- nested CASE, not AND: vectorized AND may evaluate both conjuncts,
+  -- and only CASE branches are guaranteed lazy
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(
+           CASE WHEN json_valid(props) THEN
+             CASE WHEN regexp_matches(
+                         json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                  THEN json_extract_string(props, '$.k') END
+           END AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,

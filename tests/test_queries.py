@@ -1229,6 +1229,10 @@ def test_json_extract_malformed_props(spark, tmp_path):
     get_json_object contract a 100 TB crawl depends on."""
     from swissgeol_ocr_spark.plans.queries import q_json_extract_stats
 
+    import duckdb
+
+    from swissgeol_ocr_spark.plans.queries import SQL_JSON_STATS
+
     rows = [
         (1, None, 1, "view", 1.0, '{"k": 5}'),
         (2, None, 1, "view", 1.0, "{not json"),
@@ -1236,6 +1240,8 @@ def test_json_extract_malformed_props(spark, tmp_path):
         (4, None, 1, "view", 1.0, '{"other": 1}'),
         (5, None, 1, "view", 1.0, '{"k": "str"}'),  # non-integer k
         (6, None, 1, "view", 1.0, '{"k": 7}'),
+        (7, None, 1, "view", 1.0, '{"k": 5.7}'),  # float k: the engines'
+        (8, None, 1, "view", 1.0, '{"k": 5.0}'),  # lenient casts disagree
     ]
     d = str(tmp_path / "ev")
     spark.createDataFrame(
@@ -1244,9 +1250,17 @@ def test_json_extract_malformed_props(spark, tmp_path):
         "event_type string, value double, props string",
     ).write.parquet(f"{d}/events.parquet")
     (r,) = q_json_extract_stats(spark, d).collect()
-    assert r.n_events == 6
-    assert r.n_with_k == 2  # only the two well-formed integer ks
+    assert r.n_events == 8
+    assert r.n_with_k == 2  # only the two well-formed INTEGER ks
     assert (r.sum_k, r.min_k, r.max_k) == (12, 5, 7)
+
+    # the DuckDB face must survive the SAME malformed corpus and agree —
+    # json_extract_string throws on invalid JSON unless guarded, and
+    # TRY_CAST('5.7') rounds where Spark try_cast nulls
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    (o,) = con.sql(SQL_JSON_STATS).fetchall()
+    assert o == (r.event_type, r.n_events, r.n_with_k, r.sum_k, r.min_k, r.max_k)
 
 
 def test_chunk_documents_invariants(spark, tmp_path):

@@ -261,11 +261,23 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
     # deployment shape: append mode + watermark emits FINALIZED sessions
     # only — every emitted session must be exactly its batch twin (a
     # subset: sessions still open when the last watermark advanced stay
-    # in state), and the watermark must have finalized at least one
+    # in state), and the watermark must have finalized at least one.
+    # The append leg gets a TIME-split feed (not the parity split above):
+    # parity interleaves halves across the full time range, so most
+    # second-batch events sit behind the batch-1 watermark — Spark 4.1.2
+    # happens to merge them into existing session state before eviction,
+    # but documented semantics allow dropping them; a time split keeps
+    # the test pinned to the CONTRACT, not to leniency.
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    in_dir2 = str(tmp_path / "in2")
+    ev.filter(F.col("ts") <= mid).repartition(1).write.parquet(in_dir2)
+    ev.filter(F.col("ts") > mid).repartition(1).write.mode("append").parquet(
+        in_dir2
+    )
     q2 = (
         sessionize_stream(
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-            .parquet(in_dir),
+            .parquet(in_dir2),
             watermark="0 seconds",
         )
         .writeStream.format("memory")
