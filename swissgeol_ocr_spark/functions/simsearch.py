@@ -209,6 +209,40 @@ def ivf_train(
     return cents
 
 
+def ivf_assign_trained(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Assignment against the Lloyd-trained codebook.
+
+    Returns ``(assigned, ranked)``: ``assigned`` maps every vector to its
+    single nearest trained list (`id, _v, ivf_list`), ``ranked`` keeps the
+    full per-vector centroid ranking (`_rn` = 1..n_lists) so callers can
+    take the top ``n_probes`` lists of a query vector. Shared by
+    ``ivf_ann_trained`` and the recall/fraction-scanned evidence script
+    (scripts/ann_curve.py) so measured scan fractions describe exactly the
+    lists the search probes."""
+    cents = ivf_train(embeddings, n_lists, iters, vec_col, id_col)
+    base = embeddings.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
+    )
+    from pyspark.sql import Window
+
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        id_col, "_v", "cent_rank",
+        F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_rank"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("_rn") == 1).select(
+        id_col, "_v", F.col("cent_rank").alias("ivf_list")
+    )
+    return assigned, ranked
+
+
 def ivf_ann_trained(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -225,20 +259,9 @@ def ivf_ann_trained(
     corpus). Training tracks density when embeddings are clustered; on
     structure-free uniform vectors it neither helps nor hurts much, and the
     probe count is what buys recall."""
-    cents = ivf_train(embeddings, n_lists, iters, vec_col, id_col)
+    assigned, ranked = ivf_assign_trained(embeddings, n_lists, iters, vec_col, id_col)
     base = embeddings.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
-    )
-    from pyspark.sql import Window
-
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        id_col, "_v", "cent_rank",
-        F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_rank"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("_rn") == 1).select(
-        id_col, "_v", F.col("cent_rank").alias("ivf_list")
     )
     q_lists = (
         ranked.filter((F.col(id_col) == query_vec_id) & (F.col("_rn") <= n_probes))
