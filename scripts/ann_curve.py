@@ -17,7 +17,8 @@ along the same curve by growing n_planes / n_lists with corpus size
 (buckets stay fine, probe sets stay broadcast-size — see
 functions/simsearch.py docstrings for the plan-shape argument).
 
-Usage: python scripts/ann_curve.py   (~2-4 min, local[32], sf0.1)
+Usage: python scripts/ann_curve.py   (local[32], sf0.1; wall time printed
+to stdout — the written file carries no timing so it stays bit-for-bit)
 """
 
 from __future__ import annotations
@@ -51,36 +52,21 @@ def _ids(df) -> list:
 
 def lsh_scanned(emb, q: int, n_tables: int, probe_hamming: int, n_corpus: int) -> float:
     """Distinct candidates the multi-table probe ring actually fetches for
-    query q, as a fraction of the corpus (query row excluded) — the same
-    bucket keys and probe masks lsh_ann joins on."""
-    wb = emb
-    for t in range(n_tables):
-        wb = wb.withColumn(
-            f"_b{t}",
-            simsearch.lsh_bucket(F.col("embedding"), N_PLANES, plane_offset=t * N_PLANES),
-        )
-    masks = simsearch.probe_masks(N_PLANES, probe_hamming)
-    qrow = wb.filter(F.col("vec_id") == q)
-    cand = None
-    for t in range(n_tables):
-        probes = F.array(*[F.col(f"_b{t}").bitwiseXOR(F.lit(m)) for m in masks])
-        qp = qrow.select(F.explode(probes).alias("_probe"))
-        c = (
-            wb.filter(F.col("vec_id") != q)
-            .join(F.broadcast(qp), F.col(f"_b{t}") == F.col("_probe"))
-            .select("vec_id")
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    n = cand.distinct().count()
+    query q, as a fraction of the corpus (query row excluded) — counted on
+    the SAME lsh_candidates subplan lsh_ann scores, so search and
+    measurement can't drift apart."""
+    cand = simsearch.lsh_candidates(
+        emb, query_vec_id=q,
+        n_planes=N_PLANES, n_tables=n_tables, probe_hamming=probe_hamming,
+    )
+    n = cand.select("vec_id").distinct().count()
     return n / (n_corpus - 1)
 
 
-def ivf_scanned(ranked, q: int, n_probes: int, n_corpus: int) -> float:
+def ivf_scanned(assigned, ranked, q: int, n_probes: int, n_corpus: int) -> float:
     """Population of the query's n_probes nearest trained lists, as a
-    fraction of the corpus — exactly the rows ivf_ann_trained scores."""
-    assigned = ranked.filter(F.col("_rn") == 1).select(
-        "vec_id", F.col("cent_rank").alias("ivf_list")
-    )
+    fraction of the corpus — exactly the rows ivf_ann_trained scores,
+    taken from the same ivf_assign_trained result the search probes."""
     q_lists = ranked.filter(
         (F.col("vec_id") == q) & (F.col("_rn") <= n_probes)
     ).select(F.col("cent_rank").alias("_qlist"))
@@ -123,19 +109,22 @@ def main() -> None:
         rows.append((f"lsh tables={n_tables} H≤{ph}", recs, fracs))
         print(rows[-1][0], sum(recs) / len(recs), sum(fracs) / len(fracs), flush=True)
 
+    trained = {}  # one Lloyd training per n_lists, shared across probe points
     for n_lists, n_probes in IVF_POINTS:
-        _, ranked = simsearch.ivf_assign_trained(emb, n_lists=n_lists, iters=2)
-        ranked = ranked.cache()
+        if n_lists not in trained:
+            a, r = simsearch.ivf_assign_trained(emb, n_lists=n_lists, iters=2)
+            trained[n_lists] = (a.cache(), r.cache())
+        assigned, ranked = trained[n_lists]
         recs, fracs = [], []
         for q in QUERY_IDS:
             approx = _ids(
                 simsearch.ivf_ann_trained(
-                    emb, query_vec_id=q, k=K, n_lists=n_lists, iters=2, n_probes=n_probes
+                    emb, query_vec_id=q, k=K, n_lists=n_lists, iters=2,
+                    n_probes=n_probes, pretrained=(assigned, ranked),
                 )
             )
             recs.append(len(set(approx) & set(exact[q])) / K)
-            fracs.append(ivf_scanned(ranked, q, n_probes, n_corpus))
-        ranked.unpersist()
+            fracs.append(ivf_scanned(assigned, ranked, q, n_probes, n_corpus))
         rows.append((f"ivf_trained lists={n_lists} probes={n_probes}", recs, fracs))
         print(rows[-1][0], sum(recs) / len(recs), sum(fracs) / len(fracs), flush=True)
 
@@ -163,6 +152,17 @@ def main() -> None:
     lines += [
         "| exact cosine_topk | 1.000 | 1.000 | 1.00 |",
         "",
+        "Reading the curve: the trained IVF dominates the hyperplane LSH at every",
+        "scan fraction on this corpus (at f≈0.25, IVF 0.55 vs LSH-1-table 0.44; at",
+        "f≈0.12, IVF reaches 0.40-0.41 where LSH needs f≈0.21 for the same recall),",
+        "and finer codebooks keep the lift as probes scale (lists=16 probes=1 has",
+        "the best routing, lift 5.2). LSH's remaining niche is incremental ingest —",
+        "bucketing a new vector needs no trained codebook. For recall ≥ 0.75 on",
+        "near-uniform data the probe ring must cover most of the bucket lattice",
+        "(tables=2 H≤3 → 0.79 at f=0.60): that is the intrinsic behavior of",
+        "structure-free embeddings, not an index defect — real text embeddings",
+        "cluster, which moves every point up and left.",
+        "",
         "Registered defaults: `lsh_ann` tables=2 H≤2 (the recall knee before"
         " the probe-ring union stops being sublinear on this bucket count)"
         " and `ivf_ann_trained` lists=8 probes=2. At 100-TB corpus sizes the"
@@ -171,13 +171,13 @@ def main() -> None:
         " population ~constant; the probe set stays broadcast-size, the"
         " candidate fetch stays a BroadcastHashJoin — plan shape pinned in"
         " tests/test_ann_recall.py::test_lsh_ann_plan_shape).",
-        "",
-        f"_Wall time: {time.time() - t0:.0f}s on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]._",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "ANN.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote", out)
+    # wall time stays on stdout only: the written file must be
+    # bit-for-bit reproducible so `git diff` verifies determinism
+    print(f"wrote {out} in {time.time() - t0:.0f}s")
     spark.stop()
 
 

@@ -252,22 +252,31 @@ def ivf_ann_trained(
     n_probes: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pretrained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k against the Lloyd-trained codebook with multi-list
     probing: the query scores exactly inside its ``n_probes`` nearest lists
     (the standard IVF recall knob — probing P of L lists scans ~P/L of the
     corpus). Training tracks density when embeddings are clustered; on
     structure-free uniform vectors it neither helps nor hurts much, and the
-    probe count is what buys recall."""
-    assigned, ranked = ivf_assign_trained(embeddings, n_lists, iters, vec_col, id_col)
-    base = embeddings.select(
-        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
-    )
+    probe count is what buys recall.
+
+    ``pretrained`` takes an ``ivf_assign_trained(...)`` result to amortize
+    the Lloyd rounds across many queries against one codebook (the normal
+    serving shape — train once, probe per query)."""
+    if pretrained is not None:
+        assigned, ranked = pretrained
+    else:
+        assigned, ranked = ivf_assign_trained(
+            embeddings, n_lists, iters, vec_col, id_col
+        )
     q_lists = (
         ranked.filter((F.col(id_col) == query_vec_id) & (F.col("_rn") <= n_probes))
         .select(F.col("cent_rank").alias("_qlist"))
     )
-    q_vec = base.filter(F.col(id_col) == query_vec_id).select(
+    # every vector has a rank-1 assignment, so the query vector comes out
+    # of `assigned` — no second scan of the raw embeddings
+    q_vec = assigned.filter(F.col(id_col) == query_vec_id).select(
         F.col("_v").alias("_qvec")
     )
     return (
@@ -350,6 +359,33 @@ def lsh_ann(
     BroadcastHashJoin against the bucket-partitioned corpus, and the
     cross-table dedup is one partial-agg shuffle over candidates only,
     never the corpus)."""
+    cand = lsh_candidates(
+        embeddings, query_vec_id, n_planes, n_tables, probe_hamming, vec_col, id_col
+    )
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    deduped = scored.groupBy(id_col).agg(F.max("cos_sim").alias("cos_sim"))
+    return deduped.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def lsh_candidates(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    probe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The candidate fetch ``lsh_ann`` scores: per-table probe-ring
+    broadcast equi-joins, unioned across tables (cross-table duplicates
+    NOT yet collapsed — the caller dedups). Shared with the evidence
+    script (scripts/ann_curve.py) so the measured fraction-scanned column
+    counts exactly the rows the search fetches — any change to bucketing
+    or probing here moves search and measurement together. Columns:
+    ``id_col``, ``_cvec`` (candidate vector), ``_qvec`` (query vector)."""
     # misconfiguration fails loudly at plan time, not as an AttributeError
     # on the None accumulator below (round-4 advice)
     assert n_tables >= 1, f"lsh_ann needs at least one hash table, got {n_tables}"
@@ -360,7 +396,7 @@ def lsh_ann(
         )
     masks = probe_masks(n_planes, probe_hamming)
     qrow = wb.filter(F.col(id_col) == query_vec_id)
-    scored = None
+    cand = None
     for t in range(n_tables):
         probes = F.array(
             *[F.col(f"_b{t}").bitwiseXOR(F.lit(m)) for m in masks]
@@ -371,11 +407,7 @@ def lsh_ann(
         c = (
             wb.filter(F.col(id_col) != query_vec_id)
             .join(F.broadcast(q), F.col(f"_b{t}") == F.col("_probe"))
-            .select(
-                F.col(id_col),
-                F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
-            )
+            .select(F.col(id_col), F.col(vec_col).alias("_cvec"), "_qvec")
         )
-        scored = c if scored is None else scored.unionByName(c)
-    deduped = scored.groupBy(id_col).agg(F.max("cos_sim").alias("cos_sim"))
-    return deduped.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+        cand = c if cand is None else cand.unionByName(c)
+    return cand

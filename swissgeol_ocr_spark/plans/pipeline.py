@@ -75,6 +75,13 @@ def configure_spark(builder_or_spark):
         # tables holding many near-cutoff (20k-span) documents.
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
         "spark.sql.files.maxPartitionBytes": "268435456",
+        # pinned DST-free tz: the streaming watermark path round-trips
+        # TIMESTAMP_NTZ through TIMESTAMP (watermarks reject NTZ), which
+        # is lossless only when the session tz has no DST transitions —
+        # under a DST tz, a spring-forward gap hour shifts window_start
+        # on the way back. Everything engine-side is NTZ arithmetic, so
+        # UTC changes no batch result.
+        "spark.sql.session.timeZone": "UTC",
     }
     if isinstance(builder_or_spark, SparkSession):
         for k, v in conf.items():

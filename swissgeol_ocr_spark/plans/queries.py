@@ -346,10 +346,13 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught by the planted-malformed-props test. An explicit integer-shape
     guard precedes the cast on BOTH faces: the engines' lenient numeric
     casts disagree ('5.7' → NULL in Spark try_cast, 6 in DuckDB TRY_CAST),
-    so only ^-?[0-9]+$ strings are accepted as k."""
+    so only \\A-?[0-9]+\\z strings are accepted as k. Anchors are \\A/\\z,
+    not ^/$: Java's $ matches BEFORE a trailing newline while RE2's does
+    not, so '5\\n' would count on the Spark face and null on the DuckDB
+    face — \\A/\\z mean absolute start/end in both engines."""
     ev = _t(spark, sf_dir, "events")
     raw = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(raw.rlike("^-?[0-9]+$"), raw).try_cast("long")
+    k = F.when(raw.rlike(r"\A-?[0-9]+\z"), raw).try_cast("long")
     d = ev.select("event_type", k.alias("k"))
     return d.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -368,11 +371,13 @@ WITH d AS (
   -- rule (lenient numeric casts disagree across engines on '5.7')
   -- nested CASE, not AND: vectorized AND may evaluate both conjuncts,
   -- and only CASE branches are guaranteed lazy
+  -- absolute anchors (backslash-A / backslash-z), same reason as the
+  -- Spark face: Java dollar tolerates a trailing newline, RE2 does not
   SELECT event_type,
          TRY_CAST(
            CASE WHEN json_valid(props) THEN
              CASE WHEN regexp_matches(
-                         json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                         json_extract_string(props, '$.k'), '\\A-?[0-9]+\\z')
                   THEN json_extract_string(props, '$.k') END
            END AS BIGINT) AS k
   FROM events

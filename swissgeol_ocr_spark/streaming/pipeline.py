@@ -394,9 +394,11 @@ def sessionize_stream(
     size. Without it (the tests' complete-mode form) sessions are never
     finalized out of state. Watermarks require TIMESTAMP (not NTZ), so
     the watermark path casts through the session timezone and back —
-    lossless under any fixed session tz (the one theoretical exception is
-    the repeated wall-clock hour of a DST fall-back under a DST session
-    tz; run pipelines under UTC, as everything here is)."""
+    lossless only under a DST-free session tz (BOTH transition kinds are
+    lossy: fall-back's repeated hour is ambiguous on the way in, and
+    spring-forward's gap hour shifts forward and comes back moved).
+    ``configure_spark`` pins ``spark.sql.session.timeZone=UTC`` for
+    exactly this path; a session built without it must pin its own."""
     ts_col = "ts"
     if watermark is not None:
         ts_col = "_ts_evt"

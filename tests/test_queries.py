@@ -1242,6 +1242,10 @@ def test_json_extract_malformed_props(spark, tmp_path):
         (6, None, 1, "view", 1.0, '{"k": 7}'),
         (7, None, 1, "view", 1.0, '{"k": 5.7}'),  # float k: the engines'
         (8, None, 1, "view", 1.0, '{"k": 5.0}'),  # lenient casts disagree
+        # trailing newline: Java regex $ matches before it, RE2 $ does not
+        # — both faces must REJECT it (\A/\z anchors), or Spark counts 9
+        # where DuckDB counts NULL
+        (9, None, 1, "view", 1.0, '{"k": "9\\n"}'),
     ]
     d = str(tmp_path / "ev")
     spark.createDataFrame(
@@ -1250,7 +1254,7 @@ def test_json_extract_malformed_props(spark, tmp_path):
         "event_type string, value double, props string",
     ).write.parquet(f"{d}/events.parquet")
     (r,) = q_json_extract_stats(spark, d).collect()
-    assert r.n_events == 8
+    assert r.n_events == 9
     assert r.n_with_k == 2  # only the two well-formed INTEGER ks
     assert (r.sum_k, r.min_k, r.max_k) == (12, 5, 7)
 
