@@ -4087,6 +4087,136 @@ SELECT doc_id, word, tf, df, cf, score, rank FROM ranked WHERE rank <= {TFIDF_K}
 """
 
 
+BM25_TERMS = ("hash", "merge", "vector", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 50
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: rank the corpus against a fixed multi-term
+    query (Robertson/Sparck-Jones idf, k1/b length normalization) — the
+    classical relevance scorer a curation pipeline uses to mine documents
+    matching a topic seed. Reference analogue: tfidf_topk's keyword
+    surface, extended from per-document keywords to corpus-wide retrieval.
+
+    Scale shape (100 TB): ONE combinable explode+groupBy(doc_id) computes
+    per-doc length and per-term tfs in the same pass (the term tfs are
+    conditional aggregates, not joins — the query is a literal term set,
+    so there is no second shuffle and no zipfian-key join anywhere); the
+    corpus stats (N, Σdl, per-term df) re-aggregate that relation to ONE
+    broadcast row; the final top-K is TakeOrderedAndProject, never a
+    global sort, and the rank window runs over the already-limited K rows.
+
+    Cross-engine determinism: the per-term score parts are summed in
+    FIXED left-to-right term order (a groupBy-sum over per-term rows
+    would be summation-order-dependent across engines); avgdl is one
+    double division of two exact integers (sum(dl)/N), not a float avg();
+    both faces are generated from the same constants."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    aggs = [F.count("*").alias("dl")]
+    for t in BM25_TERMS:
+        aggs.append(
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0))
+            .cast("bigint").alias(f"tf_{t}")
+        )
+    pertf = words.groupBy("doc_id").agg(*aggs)
+    stat_aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    ]
+    for t in BM25_TERMS:
+        stat_aggs.append(
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint").alias(f"df_{t}")
+        )
+    stats = pertf.agg(*stat_aggs)
+    # materialize avgdl/norm as real columns so both engines evaluate the
+    # shared subexpressions once and in the same shape
+    joined = (
+        pertf.crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "bm25_norm",
+            F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")),
+        )
+    )
+    score = None
+    for t in BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        part = (
+            idf * (F.col(f"tf_{t}") * F.lit(BM25_K1 + 1.0))
+            / (F.col(f"tf_{t}") + F.col("bm25_norm"))
+        )
+        score = part if score is None else score + part
+    scored = joined.select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        *[F.col(f"tf_{t}") for t in BM25_TERMS],
+        F.round(score, 6).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _sql_bm25() -> str:
+    """DuckDB face generated from the SAME constants as the Spark face
+    (the sql_dedup_simhash_pairs precedent): term list, k1, b, K and the
+    exact operand order of every float expression."""
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    parts = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * {BM25_K1 + 1.0!r}) / (tf_{t} + bm25_norm))"
+        for t in BM25_TERMS
+    )
+    tf_names = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), pertf AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_cols}
+  FROM words GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM pertf
+), normed AS (
+  SELECT doc_id, dl, {tf_names}, n_docs, sum_dl,
+         {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r} * dl
+                        / (CAST(sum_dl AS DOUBLE) / n_docs)) AS bm25_norm,
+         {", ".join(f"df_{t}" for t in BM25_TERMS)}
+  FROM pertf CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_names},
+         round({parts}, 6) AS score
+  FROM normed
+), top AS (
+  SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+)
+SELECT doc_id, dl, {tf_names}, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM top
+"""
+
+
+SQL_BM25 = _sql_bm25()
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram-LM quality score (the KenLM-perplexity-filter
     analogue with the corpus as its own language model): train unigram
@@ -4703,6 +4833,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "bm25_rank": (q_bm25_rank, SQL_BM25),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),

@@ -309,7 +309,7 @@ SF0001_SPOT = [
     "stratified_sample", "dedup_band_stats", "boilerplate_strip",
     "decontaminate", "pack_sequences", "repetition_ratio",
     "source_domain_filter", "topk_ngrams", "dedup_lines", "pii_scrub",
-    "tfidf_topk", "temperature_mix", "lm_score", "dedup_substrings",
+    "tfidf_topk", "bm25_rank", "temperature_mix", "lm_score", "dedup_substrings",
     "training_mix", "corpus_stats", "winnow_fingerprint",
     "semantic_dedup", "winnow_pairs",
     "sessionize", "asof_join", "percentiles", "funnel_stages",
@@ -697,6 +697,79 @@ def test_tfidf_topk_ranks_rare_terms(spark, tmp_path):
     d2 = by_doc[2]  # rare 'fig' (df=1, tf=4) dominates ubiquitous 'apple'
     assert [r.word for r in d2] == ["fig", "banana", "apple"]
     assert d2[0].score == score(4, 1) and d2[0].cf == 4
+
+
+def test_bm25_rank_matches_python_replay(spark, tmp_path):
+    """BM25 on a randomized planted corpus: every output column matches a
+    pure-python replay of the Okapi formula (same fixed term-sum order,
+    same exact-integer avgdl), a short doc with the same tf outranks a
+    long one (length normalization), and the plan's global top-K is a
+    TakeOrderedAndProject — never a full sort."""
+    import math
+    import random
+
+    from swissgeol_ocr_spark.plans.queries import (
+        BM25_B,
+        BM25_K,
+        BM25_K1,
+        BM25_TERMS,
+        q_bm25_rank,
+    )
+
+    rng = random.Random(42)
+    filler = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    texts = {}
+    for doc_id in range(40):
+        n = rng.randint(5, 60)
+        words = [
+            rng.choice(filler + list(BM25_TERMS) * 2) for _ in range(n)
+        ]
+        texts[doc_id] = words
+        rows.append((doc_id, " ".join(words), "en", "s1"))
+    # planted pair: identical query-term tfs, very different lengths —
+    # the short doc must outrank the long one
+    texts[100] = ["hash", "merge", "alpha"]
+    texts[101] = ["hash", "merge"] + ["alpha"] * 57
+    rows.append((100, " ".join(texts[100]), "en", "s1"))
+    rows.append((101, " ".join(texts[101]), "en", "s1"))
+    sf = _write_documents(spark, tmp_path, rows)
+
+    out = q_bm25_rank(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = {r.doc_id: r for r in out.collect()}
+
+    # pure-python replay, same operand order as both engine faces
+    n_docs = len(texts)
+    dl = {d: len(w) for d, w in texts.items()}
+    avgdl = float(sum(dl.values())) / n_docs
+    tf = {
+        d: {t: w.count(t) for t in BM25_TERMS} for d, w in texts.items()
+    }
+    df = {t: sum(1 for d in texts if tf[d][t] > 0) for t in BM25_TERMS}
+    scores = {}
+    for d in texts:
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
+        s = 0.0
+        for t in BM25_TERMS:
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf[d][t] * (BM25_K1 + 1.0)) / (tf[d][t] + norm)
+        # the engine rounds to 6 decimals; order by the rounded value
+        scores[d] = round(s, 6)
+    top = sorted(texts, key=lambda d: (-scores[d], d))[:BM25_K]
+    assert set(got) == set(top)
+    for rank, d in enumerate(top, start=1):
+        r = got[d]
+        assert r.rank == rank, (d, r.rank, rank)
+        assert r.dl == dl[d]
+        for t in BM25_TERMS:
+            assert getattr(r, f"tf_{t}") == tf[d][t]
+        # ≤1e-6 slop: python round is HALF_EVEN, Spark's is HALF_UP
+        assert abs(r.score - scores[d]) <= 1e-6, (d, r.score, scores[d])
+    # length normalization: same tfs, 3-word doc beats the 59-word doc
+    assert scores[100] > scores[101]
+    assert got[100].rank < got[101].rank
 
 
 def test_temperature_mix_upweights_small_sources(spark, tmp_path):
