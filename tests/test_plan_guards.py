@@ -1,0 +1,39 @@
+"""Registry-wide physical-plan guards.
+
+Individual queries pin their own plan shapes (broadcast joins, reused
+exchanges, TakeOrderedAndProject); this sweep catches the anti-patterns
+that would silently regress at 100 TB in ANY of the registered queries:
+
+* ``CartesianProduct`` — an all-pairs scan of the corpus. Spark emits it
+  only for a non-broadcast cross join, and no query here has a legitimate
+  one: every intentional crossJoin is against a broadcast scalar/stats
+  relation (which plans as BroadcastNestedLoopJoin over 1 row).
+* ``BatchEvalPython`` — a row-at-a-time Python UDF in the hot path. All
+  Python execution here is Arrow-batched (MapInArrow /
+  FlatMapGroupsInPandas), ~10-100x faster; a stray F.udf would
+  deserialize the corpus row by row.
+
+The guard runs on the OPTIMIZED plan at sf0.001 (plan construction only —
+queries whose builders run bounded driver-side fixpoints, e.g. connected
+components, execute their small probe jobs, which is their documented
+behavior)."""
+
+import pytest
+
+from swissgeol_ocr_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_row_udf(spark, name):
+    fn, _ = QUERIES[name]
+    plan = _formatted_plan(fn(spark, SF))
+    assert "CartesianProduct" not in plan, f"{name}: all-pairs corpus scan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
