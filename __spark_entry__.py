@@ -26,6 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
     configure_spark(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     spans = documents_to_spans(docs)
+    # flagship shape: two consumer branches (passthrough + kernel) share
+    # the pipeline's exchange, which materializes the synthesis once
     return extract_pipeline(spans, has_mega=_mega_hint(spans))
 
 

@@ -4559,7 +4559,15 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_spans(docs)
-    out = extract_pipeline(spans, has_mega=_mega_hint(spans, key=(sf_dir, "spans")))
+    # metrics-only output: Catalyst prunes spans_out through both consumer
+    # branches, so re-evaluating the (pruned) synthesis per branch beats a
+    # second exchange (interleaved best-of A/B at sf0.1: pre+norep 1.82s,
+    # old serial-synthesis 1.90s, pre+rep 2.17s). The full-output
+    # extract_sequence keeps the exchange instead.
+    out = extract_pipeline(
+        spans, repartition=False,
+        has_mega=_mega_hint(spans, key=(sf_dir, "spans"))
+    )
     return out.select("doc_id", "n_spans_in", "n_spans_out", "n_pages")
 
 
@@ -4575,7 +4583,9 @@ def q_extract_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_spans(docs)
     out = extract_pipeline(
-        spans, ExtractConfig(use_aggressive_strategy=True),
+        # aggressive strategy disables the passthrough: single consumer, same
+        # rule as extract_words — no second exchange
+        spans, ExtractConfig(use_aggressive_strategy=True), repartition=False,
         has_mega=_mega_hint(spans, key=(sf_dir, "spans"))
     )
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
@@ -4601,7 +4611,10 @@ def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_word_spans(docs)
     out = extract_pipeline(
-        spans, ExtractConfig(build_lines_from_words=True),
+        # single consumer (all word docs are scanned: no passthrough branch) —
+        # the pre-partitioned synthesis feeds the kernel directly; a second
+        # exchange only re-shuffles (A/B at sf0.1: 1.57s vs 1.83s)
+        spans, ExtractConfig(build_lines_from_words=True), repartition=False,
         has_mega=_mega_hint(spans, key=(sf_dir, "words"))
     )
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
@@ -4628,7 +4641,14 @@ def q_extract_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = documents_to_spans(docs)
-    out = extract_pipeline(spans, has_mega=_mega_hint(spans, key=(sf_dir, "spans")))
+    # two consumer branches (JVM passthrough + kernel): keep the pipeline's
+    # hash(doc_id) exchange — it materializes the pre-partitioned synthesis
+    # ONCE for both (runtime ReuseExchange), where repartition=False would
+    # re-evaluate the span synthesis per branch (A/B at sf0.1: 2.47s vs
+    # 2.91s; serial-synthesis old shape 3.33s)
+    out = extract_pipeline(
+        spans, has_mega=_mega_hint(spans, key=(sf_dir, "spans"))
+    )
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),

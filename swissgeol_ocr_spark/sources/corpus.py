@@ -72,8 +72,33 @@ def replicate_documents(docs: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def _pre_partition(docs: DataFrame) -> DataFrame:
+    """Spread the raw (doc_id, text) rows across the cluster BEFORE the
+    heavy span-synthesis projections. A small parquet file arrives as ONE
+    scan split, and Catalyst keeps per-row projections attached to the
+    scan — without this, the entire per-word struct synthesis serializes
+    in a single task and the downstream 32-way kernel stage waits on it
+    (measured: a 1-task 1.5-1.9 s stage ahead of a 0.9 s kernel stage at
+    sf0.1). Shuffling the raw text first costs a few MB; the derivation
+    then runs at full width. Same hash(doc_id) assignment the pipeline
+    would apply. Downstream-exchange rule (A/B-measured at sf0.1):
+    single-consumer pipelines (word/aggressive paths — no passthrough
+    branch) pass ``extract_pipeline(..., repartition=False)`` and keep
+    exactly one exchange (1.57s vs 1.83s); dual-consumer pipelines
+    (flagship: passthrough + kernel) KEEP the pipeline exchange — it
+    materializes the synthesis once for both branches via ReuseExchange,
+    where skipping it re-evaluates the synthesis per branch (2.47s vs
+    2.91s)."""
+    return docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def documents_to_spans(
-    docs: DataFrame, mega_docs: bool = True, mega_factor: int | None = None
+    docs: DataFrame,
+    mega_docs: bool = True,
+    mega_factor: int | None = None,
+    pre_partition: bool = True,
 ) -> DataFrame:
     """documents(doc_id, text) → (doc_id string, spans) deterministic.
 
@@ -82,6 +107,8 @@ def documents_to_spans(
     split cutoff — real mega docs are rare). The bench's ``--mega`` mode
     passes ~4000 so the subset genuinely crosses the cutoff and the
     page-split/reassemble subtree carries measured load, not just tests."""
+    if pre_partition:
+        docs = _pre_partition(docs)
     d = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.col("text"), " ").alias("words"),
@@ -215,7 +242,9 @@ WORD_W = 30.0
 WORD_STEP = 36.0
 
 
-def documents_to_word_spans(docs: DataFrame, mega_docs: bool = True) -> DataFrame:
+def documents_to_word_spans(
+    docs: DataFrame, mega_docs: bool = True, pre_partition: bool = True
+) -> DataFrame:
     """documents(doc_id, text) → word-granularity scanned spans: the raw
     detection shape the reference consumes (Textract WORD blocks,
     textract_api_schema.py:64-78 / textline.py:54). Every page carries a
@@ -230,6 +259,8 @@ def documents_to_word_spans(docs: DataFrame, mega_docs: bool = True) -> DataFram
     is exercised on real pipeline data. Per-word confidence is hash-derived
     like the line corpus. Pure function of (doc_id, text); all hashing is
     the engine-portable md5 arithmetic of ``_h``."""
+    if pre_partition:
+        docs = _pre_partition(docs)
     d = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.col("text"), " ").alias("words"),
