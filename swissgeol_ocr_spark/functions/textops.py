@@ -134,10 +134,13 @@ def cap_band_buckets(
     elimination, so a semi-join formulation re-evaluates the whole
     collapse→signature→band subtree once per consumer per side (measured
     4× = +2.4× wall on the wide-SimHash pairs at sf0.1). With the window,
-    every consumer sits on the SAME canonical Exchange and runtime
-    ReuseExchange evaluates the expensive subtree once; the window itself
-    is one count per already-shuffled partition, and the join that follows
-    reuses the bk partitioning."""
+    every consumer sits on the SAME canonical Exchange so runtime
+    ReuseExchange CAN evaluate the expensive subtree once — best-effort
+    (observed firing standalone and not firing mid-suite; unpinnable),
+    which is why the subtree is ALSO width-pinned (``pin_width``): when
+    reuse does not fire, each re-evaluation is parallel, not serial. The
+    window itself is one count per already-shuffled partition, and the
+    join that follows reuses the bk partitioning."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col)
@@ -148,6 +151,27 @@ def cap_band_buckets(
     )
 
 
+def pin_width(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Explicit width pin (REPARTITION_BY_NUM) ahead of CPU-heavy per-row
+    derivations. AQE's partition coalescing targets BYTES (advisory size /
+    parallelismFirst) and is blind to downstream per-row CPU: a few-MB
+    relation feeding md5-per-shingle work gets coalesced into one or two
+    tasks and the derivation serializes while the rest of the cluster
+    idles (measured: dedup_minhash_lsh 1.38s → 0.72s warm at sf0.1 from
+    this pin alone). A user-specified numPartitions exchange is never
+    AQE-coalesced, so the derivation width is guaranteed. Cost: one slim
+    exchange of the keyed relation; at fleet scale, where the upstream
+    aggregate is already wide, that is one extra pass over
+    (doc_id, text) — cheap insurance that a size-coalesced CPU-heavy
+    stage can never serialize. Doubly important because runtime
+    ReuseExchange is best-effort (CLAUDE.md: unpinnable): when a banded
+    subtree IS re-evaluated per self-join side, the pin makes each
+    evaluation parallel instead of serial."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_cols
+    )
+
+
 def minhash_band_relation(reps: DataFrame) -> DataFrame:
     """(doc_id, n_dups, band_key) — the banded MinHash-LSH relation over an
     ``exact_collapse``d (doc_id, text, n_dups) representative set: word-3-
@@ -155,7 +179,9 @@ def minhash_band_relation(reps: DataFrame) -> DataFrame:
     rows. Each stage materializes its array column first (HOF lambdas do no
     common-subexpression elimination — see ``md5_digests``). Shared by the
     batch pair query and the incremental streaming leg so both sides band
-    identically."""
+    identically. Width-pinned: the shingle-md5 sweep is the CPU-heavy
+    stage AQE would otherwise size-coalesce into one task."""
+    reps = pin_width(reps, "doc_id")
     w = reps.select("doc_id", "n_dups", F.split("text", " ").alias("w"))
     sh = w.select("doc_id", "n_dups", shingles_of_words(F.col("w")).alias("sh"))
     dg = sh.select("doc_id", "n_dups", md5_digests(F.col("sh")).alias("dg"))

@@ -1246,7 +1246,9 @@ def q_dedup_simhash_pairs(
     reps = textops.exact_collapse(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    docs = reps.select(
+    # width pin before the per-token md5 sweep + 128 vote aggregates —
+    # see textops.pin_width (AQE size-coalesce is blind to per-row CPU)
+    docs = textops.pin_width(reps, "doc_id").select(
         "doc_id", "n_dups", textops.md5_digests(F.split("text", " ")).alias("dg")
     )
     if bits <= 62:
