@@ -2912,7 +2912,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_dup", F.lit(True))
     )
     counts = textops.token_counts(F.col("text"))
-    feats = docs.select(
+    # width pin BEFORE the feature sweep (langid trigram regexes + quality
+    # ratios + token counts are per-row CPU an unsplittable scan would
+    # serialize — measured 2.85s in one task at sf0.1); the pin's
+    # hash(doc_id) exchange doubles as the join's required partitioning,
+    # so the text shuffles exactly once either way
+    feats = textops.pin_width(docs, "doc_id").select(
         "doc_id",
         textops.predicted_lang(F.col("text")).alias("pred_lang"),
         textops.quality_score(F.col("text")).alias("quality"),

@@ -64,7 +64,11 @@ def test_extract_pipeline_steady_state_shuffle_free(spark, sf_dir):
     # no .limit() here — a global limit inserts its own SinglePartition
     # Exchange and would mask what this test pins
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    spans = documents_to_spans(docs)
+    # pre_partition=False: the synthesis-side width pin is a local-parquet
+    # artifact (single scan split); the steady state this test pins reads
+    # an ALREADY-distributed bucketed table, so the synthesized stand-in
+    # must not inject the pin's Exchange
+    spans = documents_to_spans(docs, pre_partition=False)
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
 
     out = extract_pipeline(spans, repartition=False, has_mega=False)
