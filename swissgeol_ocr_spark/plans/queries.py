@@ -4306,6 +4306,14 @@ FROM scored
 # BEFORE the compare (floor, never round: engine-portable).
 MIX_ALPHA = 0.7
 MIX_FRAC = 0.5
+# Epsilon added INSIDE the basis-point floor on both engine faces. When
+# source counts are equal, q_s is EXACTLY 0.5 in real arithmetic, and the
+# double paths differ between engines only in z's summation order — Spark
+# landed at 5000 bp and DuckDB at 4999 on the same corpus. Cross-engine
+# disagreement is ulp-scale (≲1e-10 bp); 1e-6 bp absorbs it while being
+# six orders of magnitude below the 1 bp quantum, so no honestly-interior
+# value can cross a boundary because of it.
+MIX_BP_EPS = 1e-6
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4343,6 +4351,7 @@ def _temperature_keep(docs: DataFrame) -> DataFrame:
                     / F.col("n_s"),
                 )
                 * 10000
+                + F.lit(MIX_BP_EPS)
             )
             .cast("int")
             .alias("keep_bp"),
@@ -4373,7 +4382,8 @@ WITH ns AS (
 ), q AS (
   SELECT source,
          CAST(floor(least(1.0, (pow(n_s, {MIX_ALPHA}) / z)
-                               * (n * {MIX_FRAC}) / n_s) * 10000) AS INT)
+                               * (n * {MIX_FRAC}) / n_s) * 10000
+                    + {MIX_BP_EPS}) AS INT)
            AS keep_bp
   FROM ns CROSS JOIN tot
 ), hashed AS (
@@ -4486,7 +4496,8 @@ WITH survivors AS (
 ), q AS (
   SELECT source,
          CAST(floor(least(1.0, (pow(n_s, {MIX_ALPHA}) / z)
-                               * (n * {MIX_FRAC}) / n_s) * 10000) AS INT)
+                               * (n * {MIX_FRAC}) / n_s) * 10000
+                    + {MIX_BP_EPS}) AS INT)
            AS keep_bp
   FROM ns CROSS JOIN tot
 ), mixed AS (
