@@ -38,7 +38,9 @@ from swissgeol_ocr_spark.functions import textops
 from swissgeol_ocr_spark.plans.queries import minhash_pair_relation
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BANDS, ROWS = 4, 2
+# derived from the production banding, never a local literal — a retune of
+# textops' banding re-labels this evidence's theory curve automatically
+BANDS, ROWS = textops.MINHASH_BANDS, textops.MINHASH_ROWS
 BUCKETS = [(0.9, 1.01), (0.8, 0.9), (0.7, 0.8), (0.6, 0.7), (0.5, 0.6),
            (0.4, 0.5), (0.3, 0.4), (0.2, 0.3), (0.0, 0.2)]
 PRECISION_TAUS = [0.8, 0.5, 0.3]
@@ -79,12 +81,14 @@ def exact_jaccard_pairs(docs):
     inverted-index self-join on the shingle digest, exact |A∩B| /
     (|A|+|B|-|A∩B|) over the distinct shingle sets the signatures hash."""
     reps = textops.exact_collapse(docs.select("doc_id", "text"))
+    # shingles() already array_distincts and md5 preserves distinctness,
+    # so the exploded (doc_id, digest) rows are unique per doc by
+    # construction — no array_distinct wrapper, no row-level .distinct()
+    # (each would re-shuffle the full inverted index for nothing)
     sh = reps.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(textops.md5_digests(textops.shingles(F.col("text"))))
-        ).alias("sh"),
-    ).distinct()
+        F.explode(textops.md5_digests(textops.shingles(F.col("text")))).alias("sh"),
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -124,34 +128,50 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
     )
 
-    truth = exact_jaccard_pairs(docs).cache()
+    truth = exact_jaccard_pairs(docs)
     cand = (
         minhash_pair_relation(docs).select("a_id", "b_id")
         .withColumn("is_cand", F.lit(True))
-        .cache()
     )
     joined = truth.join(cand, ["a_id", "b_id"], "full_outer").select(
         F.coalesce("jac", F.lit(0.0)).alias("jac"),
         F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
-    ).cache()
+    )
+
+    # ONE job for every number in the report: per-bucket totals/catches,
+    # per-tau precision numerators and the candidate count are all
+    # conditional sums over the same relation — 13 sequential
+    # filter+collect jobs (each re-evaluating the join) collapse into a
+    # single pass, so no cache() is needed anywhere
+    aggs = []
+    for i, (lo, hi) in enumerate(BUCKETS):
+        in_b = (F.col("jac") >= lo) & (F.col("jac") < hi)
+        aggs.append(F.sum(F.when(in_b, 1).otherwise(0)).alias(f"n_{i}"))
+        aggs.append(
+            F.sum(F.when(in_b & F.col("is_cand"), 1).otherwise(0)).alias(f"c_{i}")
+        )
+    for i, tau in enumerate(PRECISION_TAUS):
+        aggs.append(
+            F.sum(
+                F.when(F.col("is_cand") & (F.col("jac") >= tau), 1).otherwise(0)
+            ).alias(f"p_{i}")
+        )
+    aggs.append(F.sum(F.col("is_cand").cast("long")).alias("n_cand"))
+    row = joined.agg(*aggs).collect()[0]
 
     bucket_rows = []
-    for lo, hi in BUCKETS:
-        agg = joined.filter((F.col("jac") >= lo) & (F.col("jac") < hi)).agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("is_cand").cast("long")).alias("caught"),
-        ).collect()[0]
-        n, caught = agg.n, agg.caught or 0
+    for i, (lo, hi) in enumerate(BUCKETS):
+        n, caught = row[f"n_{i}"] or 0, row[f"c_{i}"] or 0
         mid = min((lo + hi) / 2, 1.0) if hi > 1.0 else (lo + hi) / 2
         theo = 1 - (1 - mid ** ROWS) ** BANDS
         bucket_rows.append((lo, hi, n, caught, theo))
         print(f"J[{lo:.1f},{min(hi,1.0):.1f}] n={n} caught={caught} theo={theo:.3f}",
               flush=True)
 
-    n_cand = cand.count()
+    n_cand = row["n_cand"] or 0
     prec_rows = []
-    for tau in PRECISION_TAUS:
-        good = joined.filter(F.col("is_cand") & (F.col("jac") >= tau)).count()
+    for i, tau in enumerate(PRECISION_TAUS):
+        good = row[f"p_{i}"] or 0
         prec_rows.append((tau, good))
         print(f"precision@J>={tau}: {good}/{n_cand}", flush=True)
 

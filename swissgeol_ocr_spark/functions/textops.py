@@ -172,16 +172,21 @@ def pin_width(df: DataFrame, *key_cols: str) -> DataFrame:
     )
 
 
-def minhash_band_relation(reps: DataFrame) -> DataFrame:
+def minhash_band_relation(reps: DataFrame, pin: bool = True) -> DataFrame:
     """(doc_id, n_dups, band_key) — the banded MinHash-LSH relation over an
     ``exact_collapse``d (doc_id, text, n_dups) representative set: word-3-
     gram shingles → one md5 per shingle → 8-slice signature → 4 bands × 2
     rows. Each stage materializes its array column first (HOF lambdas do no
     common-subexpression elimination — see ``md5_digests``). Shared by the
     batch pair query and the incremental streaming leg so both sides band
-    identically. Width-pinned: the shingle-md5 sweep is the CPU-heavy
-    stage AQE would otherwise size-coalesce into one task."""
-    reps = pin_width(reps, "doc_id")
+    identically. Width-pinned by default: the shingle-md5 sweep is the
+    CPU-heavy stage AQE would otherwise size-coalesce into one task.
+    The streaming leg passes ``pin=False`` — a foreachBatch micro-batch
+    is a handful of just-checkpointed rows, and an unconditional
+    defaultParallelism-wide exchange would tax every micro-batch with
+    near-empty tasks for data that fits one."""
+    if pin:
+        reps = pin_width(reps, "doc_id")
     w = reps.select("doc_id", "n_dups", F.split("text", " ").alias("w"))
     sh = w.select("doc_id", "n_dups", shingles_of_words(F.col("w")).alias("sh"))
     dg = sh.select("doc_id", "n_dups", md5_digests(F.col("sh")).alias("dg"))
@@ -206,7 +211,16 @@ def md5_digests(string_array: Column) -> Column:
     return F.transform(string_array, lambda s: F.md5(s))
 
 
-def minhash_signature(digests: Column, k: int = 8) -> Column:
+# The production MinHash-LSH banding: k = bands × rows signature slices.
+# Single source of truth — the evidence script (scripts/dedup_quality.py)
+# and its pinned test derive the theory curve p(s) = 1-(1-s^rows)^bands
+# from THESE values, so a retune here re-labels the evidence with it.
+MINHASH_SIG_K = 8
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+
+
+def minhash_signature(digests: Column, k: int = MINHASH_SIG_K) -> Column:
     """k-element MinHash signature from ONE md5 per shingle: the 32-hex
     digest is sliced into k 4-hex sub-hashes and each signature element is
     the lexicographic min of its slice over the shingles (the standard
@@ -221,7 +235,9 @@ def minhash_signature(digests: Column, k: int = 8) -> Column:
     )
 
 
-def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 2) -> Column:
+def lsh_band_keys(
+    signature: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
+) -> Column:
     """Band the signature: band key = band_id || md5-concat of its rows.
     Near-duplicates collide on at least one band key with high probability;
     the join that finds them shuffles on this compact key."""

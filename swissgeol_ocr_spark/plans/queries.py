@@ -4098,6 +4098,14 @@ BM25_TERMS = ("hash", "merge", "vector", "window")
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_K = 50
+# Scores are emitted as INTEGER micro-units: floor(score*1e6 + eps), the
+# same engine-portable quantization as the temperature-mix basis points.
+# round(double, 6) would put the top-K membership on a HALF_UP-vs-HALF_EVEN
+# knife edge fed by ln() — JVM Math.log and DuckDB's libm are each 1-ulp
+# accurate but need not agree bit-for-bit. ln noise is ≲1e-14 abs on these
+# magnitudes (≲1e-8 micro-units); 1e-6 absorbs it, six orders below the
+# 1-micro quantum.
+BM25_SCORE_EPS = 1e-6
 
 
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4119,7 +4127,10 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXED left-to-right term order (a groupBy-sum over per-term rows
     would be summation-order-dependent across engines); avgdl is one
     double division of two exact integers (sum(dl)/N), not a float avg();
-    both faces are generated from the same constants."""
+    the emitted score is INTEGER micro-units (floor(score*1e6 +
+    BM25_SCORE_EPS)) so ln()'s 1-ulp engine divergence can neither flip a
+    rounding boundary nor change top-K membership; both faces are
+    generated from the same constants."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     aggs = [F.count("*").alias("dl")]
@@ -4166,10 +4177,12 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("dl").cast("bigint").alias("dl"),
         *[F.col(f"tf_{t}") for t in BM25_TERMS],
-        F.round(score, 6).alias("score"),
+        F.floor(score * F.lit(1e6) + F.lit(BM25_SCORE_EPS))
+        .cast("bigint")
+        .alias("score_micro"),
     )
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    top = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(BM25_K)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
@@ -4210,13 +4223,15 @@ WITH words AS (
   FROM pertf CROSS JOIN stats
 ), scored AS (
   SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_names},
-         round({parts}, 6) AS score
+         CAST(floor(({parts}) * 1000000.0 + {BM25_SCORE_EPS!r}) AS BIGINT)
+           AS score_micro
   FROM normed
 ), top AS (
-  SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+  SELECT * FROM scored ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_K}
 )
-SELECT doc_id, dl, {tf_names}, score,
-       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+SELECT doc_id, dl, {tf_names}, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT)
+         AS rank
 FROM top
 """
 

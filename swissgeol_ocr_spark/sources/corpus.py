@@ -80,8 +80,12 @@ def _pre_partition(docs: DataFrame) -> DataFrame:
     in a single task and the downstream 32-way kernel stage waits on it
     (measured: a 1-task 1.5-1.9 s stage ahead of a 0.9 s kernel stage at
     sf0.1). Shuffling the raw text first costs a few MB; the derivation
-    then runs at full width. Same hash(doc_id) assignment the pipeline
-    would apply. Downstream-exchange rule (A/B-measured at sf0.1):
+    then runs at full width. NOTE: this hashes the RAW int64 doc_id while
+    extract_pipeline repartitions on the string-cast doc_id the synthesis
+    emits — murmur3(long) != murmur3(string), so the two exchanges do NOT
+    co-partition and the pipeline's exchange can never be elided on the
+    strength of this one; it exists purely to widen the synthesis stage.
+    Downstream-exchange rule (A/B-measured at sf0.1):
     single-consumer pipelines (word/aggressive paths — no passthrough
     branch) pass ``extract_pipeline(..., repartition=False)`` and keep
     exactly one exchange (1.57s vs 1.83s); dual-consumer pipelines

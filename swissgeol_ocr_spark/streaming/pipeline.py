@@ -709,7 +709,10 @@ def minhash_neardup_stream(
         else:
             new_reps = reps
         new_reps = new_reps.localCheckpoint(eager=True)  # read idx BEFORE appending
-        banded_new = textops.minhash_band_relation(new_reps).join(
+        # pin=False: a micro-batch is a few just-checkpointed rows; the
+        # batch-side width pin would cost an exchange + ~32 near-empty
+        # tasks per trigger
+        banded_new = textops.minhash_band_relation(new_reps, pin=False).join(
             new_reps.select("doc_id", "fp"), "doc_id"
         )
         old_banded = (

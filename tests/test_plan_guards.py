@@ -13,10 +13,13 @@ that would silently regress at 100 TB in ANY of the registered queries:
   FlatMapGroupsInPandas), ~10-100x faster; a stray F.udf would
   deserialize the corpus row by row.
 
-The guard runs on the OPTIMIZED plan at sf0.001 (plan construction only —
-queries whose builders run bounded driver-side fixpoints, e.g. connected
-components, execute their small probe jobs, which is their documented
-behavior)."""
+The guard reads the formatted PHYSICAL plan at sf0.001 (plan construction
+only — queries whose builders run bounded driver-side fixpoints, e.g.
+connected components, execute their small probe jobs, which is their
+documented behavior)."""
+
+import contextlib
+import io
 
 import pytest
 
@@ -26,9 +29,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def _formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    # public-API capture (same shape as tests/test_bucketed.py): survives
+    # internal renames and Spark Connect, unlike df._sc._jvm reach-ins
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

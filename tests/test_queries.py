@@ -712,6 +712,7 @@ def test_bm25_rank_matches_python_replay(spark, tmp_path):
         BM25_B,
         BM25_K,
         BM25_K1,
+        BM25_SCORE_EPS,
         BM25_TERMS,
         q_bm25_rank,
     )
@@ -755,8 +756,8 @@ def test_bm25_rank_matches_python_replay(spark, tmp_path):
         for t in BM25_TERMS:
             idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
             s += idf * (tf[d][t] * (BM25_K1 + 1.0)) / (tf[d][t] + norm)
-        # the engine rounds to 6 decimals; order by the rounded value
-        scores[d] = round(s, 6)
+        # integer micro-units, exactly as both engine faces emit them
+        scores[d] = math.floor(s * 1e6 + BM25_SCORE_EPS)
     top = sorted(texts, key=lambda d: (-scores[d], d))[:BM25_K]
     assert set(got) == set(top)
     for rank, d in enumerate(top, start=1):
@@ -765,8 +766,9 @@ def test_bm25_rank_matches_python_replay(spark, tmp_path):
         assert r.dl == dl[d]
         for t in BM25_TERMS:
             assert getattr(r, f"tf_{t}") == tf[d][t]
-        # ≤1e-6 slop: python round is HALF_EVEN, Spark's is HALF_UP
-        assert abs(r.score - scores[d]) <= 1e-6, (d, r.score, scores[d])
+        # exact integer equality — the micro-unit floor (+eps) is the
+        # whole point: no HALF_UP/HALF_EVEN slop band needed anymore
+        assert r.score_micro == scores[d], (d, r.score_micro, scores[d])
     # length normalization: same tfs, 3-word doc beats the 59-word doc
     assert scores[100] > scores[101]
     assert got[100].rank < got[101].rank
@@ -782,6 +784,7 @@ def test_temperature_mix_upweights_small_sources(spark, tmp_path):
 
     from swissgeol_ocr_spark.plans.queries import (
         MIX_ALPHA,
+        MIX_BP_EPS,
         MIX_FRAC,
         q_temperature_mix,
     )
@@ -795,10 +798,14 @@ def test_temperature_mix_upweights_small_sources(spark, tmp_path):
     n = {"big": 12, "small": 2}
     z = sum(math.pow(v, MIX_ALPHA) for v in n.values())
     total = sum(n.values())
+    # + MIX_BP_EPS: the replay is a THIRD float face of the same floor —
+    # without the epsilon, python's doubles landing one ulp below an
+    # exactly-integer boundary would fail the test against a correct build
     bp = {
         s: math.floor(
             min(1.0, (math.pow(v, MIX_ALPHA) / z) * (total * MIX_FRAC) / v)
             * 10000
+            + MIX_BP_EPS
         )
         for s, v in n.items()
     }
@@ -1140,6 +1147,7 @@ def test_training_mix_composition_replay(spark):
 
     from swissgeol_ocr_spark.plans.queries import (
         MIX_ALPHA,
+        MIX_BP_EPS,
         MIX_FRAC,
         PACK_BLOCK_DOCS,
         PACK_SEQ_TOKENS,
@@ -1161,7 +1169,10 @@ def test_training_mix_composition_replay(spark):
     z = sum(c**MIX_ALPHA for c in ns.values())
     n = sum(ns.values())
     keep_bp = {
-        s: math.floor(min(1.0, (c**MIX_ALPHA / z) * (n * MIX_FRAC) / c) * 10000)
+        s: math.floor(
+            min(1.0, (c**MIX_ALPHA / z) * (n * MIX_FRAC) / c) * 10000
+            + MIX_BP_EPS
+        )
         for s, c in ns.items()
     }
 
