@@ -438,7 +438,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SESSIONIZE = """
+# session CTE chain shared by the batch oracle and the streaming-face
+# oracle (one literal so both faces sessionize identically)
+_SQL_SESSION_CTES = """
 WITH g AS (
   SELECT user_id, ts, event_id,
          CAST(round(value * 100) AS BIGINT) AS cents,
@@ -454,6 +456,9 @@ WITH g AS (
            AS session_seq
   FROM g
 )
+"""
+
+SQL_SESSIONIZE = _SQL_SESSION_CTES + """
 SELECT user_id, session_seq,
        CAST(count(*) AS BIGINT) AS n_events,
        min(ts) AS session_start,
@@ -678,6 +683,160 @@ SELECT event_id AS click_id, user_id, ts AS click_ts, matched_view_id,
        epoch_us(ts) - epoch_us(matched_view_ts) AS lag_us
 FROM m WHERE is_probe = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming faces as driver-checkable queries: each runs the REAL
+# Structured Streaming operator bounded (two file micro-batches,
+# availableNow trigger, state store engaged across the batch boundary)
+# and returns the drained result, so the same hard cross-engine oracle
+# that pins the batch face pins the streaming face. The reference has no
+# streaming surface (SURVEY §2.8) — these are the training-pipeline
+# extensions' continuous forms, held to batch-grade correctness checks
+# instead of the weaker rows-only check streaming ops usually get.
+# ---------------------------------------------------------------------------
+
+_EVENT_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _staged_event_stream(spark: SparkSession, sf_dir: str, split: str):
+    """Stage the events table as a two-file micro-batch stream
+    (maxFilesPerTrigger=1 → exactly two triggers, so per-key state MUST
+    carry across a micro-batch boundary — the path that distinguishes a
+    streaming operator from a warm re-run of the batch one).
+
+    split='parity' interleaves halves across the full time range (hardest
+    for session merging; order-insensitive consumers only); split='time'
+    cuts at the median timestamp so per-user event-time order holds
+    across batches — the kafka-partition-by-user deployment shape the
+    order-sensitive stateful operators (as-of, funnel) are specified
+    against. Returns (stream_df, workdir)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sgs_stream_q_")
+    in_dir = f"{work}/in"
+    if split == "parity":
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        second = ev.filter(F.col("event_id") % 2 == 1)
+    else:
+        mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+        first = ev.filter(F.col("ts") <= mid)
+        second = ev.filter(F.col("ts") > mid)
+    first.repartition(1).write.parquet(in_dir)
+    second.repartition(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(_EVENT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    return stream, work
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded run of the streaming session_window face
+    (streaming/pipeline.py sessionize_stream): parity-split feed, so
+    nearly every session is MERGED across the micro-batch boundary in the
+    state store; complete-mode memory sink. The oracle is the batch
+    sessionize SQL re-projected to the stream's output shape
+    (window_end = last event + gap, session_window's half-open end)."""
+    import uuid
+
+    from swissgeol_ocr_spark.streaming.pipeline import sessionize_stream
+
+    stream, work = _staged_event_stream(spark, sf_dir, "parity")
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+def q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded run of the streaming as-of enrichment
+    (streaming/pipeline.py asof_stream, applyInPandasWithState): time-
+    median split, so second-batch clicks must match views remembered in
+    STATE from the first; parquet sink (the deployment sink shape).
+    Oracle: the batch as-of SQL verbatim — the stream's output schema is
+    the batch schema by construction."""
+    from swissgeol_ocr_spark.streaming.pipeline import asof_stream
+
+    stream, work = _staged_event_stream(spark, sf_dir, "time")
+    out_dir = f"{work}/out"
+    q = (
+        asof_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select(
+        "click_id", "user_id", "click_ts", "matched_view_id", "lag_us"
+    )
+
+
+def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded run of the streaming change-data funnel
+    (streaming/pipeline.py funnel_stream): time-median split so stage
+    advances span micro-batches; the change-data emits are rolled up to
+    the per-user FINAL row (highest reached_stage — emits are strictly
+    stage-increasing per user, so the max is unique), which must equal
+    the batch funnel on the stage>0 users. Oracle: the batch funnel SQL
+    filtered to reached_stage > 0 (stage-0 users never emit a change)."""
+    from swissgeol_ocr_spark.streaming.pipeline import funnel_stream
+
+    stream, work = _staged_event_stream(spark, sf_dir, "time")
+    out_dir = f"{work}/out"
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    emits = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("reached_stage"))
+    return (
+        emits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "first_view",
+            "first_click_after",
+            "first_purchase_after",
+            "reached_stage",
+        )
+    )
+
+
+SQL_SESSIONIZE_STREAM = _SQL_SESSION_CTES + """
+SELECT user_id,
+       min(ts) AS window_start,
+       max(ts) + INTERVAL 30 MINUTE AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, session_seq
+"""
+
+SQL_ASOF_STREAM = SQL_ASOF
+
+SQL_FUNNEL_STREAM = (
+    "SELECT * FROM (" + SQL_FUNNEL.strip() + ") WHERE reached_stage > 0"
+)
 
 
 # RAG-style chunking: words per chunk / stride (overlap = CHUNK_W - CHUNK_STRIDE)
@@ -4844,6 +5003,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_join": (q_asof_join, SQL_ASOF),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL),
+    # bounded runs of the REAL streaming operators (state store engaged
+    # across two micro-batches) held to the same hard oracles as batch
+    "sessionize_stream": (q_sessionize_stream, SQL_SESSIONIZE_STREAM),
+    "asof_stream": (q_asof_stream, SQL_ASOF_STREAM),
+    "funnel_stream": (q_funnel_stream, SQL_FUNNEL_STREAM),
     "star_join_q5": (q_star_join_q5, SQL_STAR_Q5),
     "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
     "cube_rollup": (q_cube_rollup, SQL_CUBE),
