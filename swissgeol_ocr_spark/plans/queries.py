@@ -823,6 +823,114 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded run of the end-to-end streaming extraction job
+    (streaming/pipeline.py run_stream_to_parquet: file-source spans
+    stream → mapInArrow kernel → exactly-once parquet sink with
+    checkpoint). Stateless, so the drained output is the batch pipeline's
+    output document-for-document; exploded to the span-sequence surface
+    so the flagship's HARD oracle (SQL_EXTRACT_SEQUENCE — closed-form
+    DuckDB regeneration + the pure-python twin's golden for the
+    reading-order layout) pins the streaming face too."""
+    import tempfile
+
+    from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = documents_to_spans(docs)
+    work = tempfile.mkdtemp(prefix="sgs_stream_q_")
+    in_dir, out_dir = f"{work}/in", f"{work}/out"
+    # internal-invariant cast: the synthesis mints numeric-string doc_ids
+    spans.filter(F.col("doc_id").cast("bigint") % 2 == 0).write.parquet(in_dir)
+    spans.filter(F.col("doc_id").cast("bigint") % 2 == 1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = run_stream_to_parquet(spark, in_dir, out_dir, f"{work}/ckpt")
+    q.awaitTermination(600)
+    out = spark.read.parquet(out_dir)
+    return out.select("doc_id", F.explode("spans_out").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded run of the streaming exact dedup
+    (streaming/pipeline.py dedup_stream — dropDuplicatesWithinWatermark
+    on md5(text)): parity-split feed so duplicates recur across the
+    micro-batch boundary and must be dropped from STATE, not within one
+    batch. WHICH doc survives a group is arrival-order-dependent (the
+    operator's keep-first contract), so the oracled projection is the
+    emitted fingerprint SET — exactly one row per distinct text —
+    which is deterministic and engine-checkable."""
+    import tempfile
+
+    from swissgeol_ocr_spark.streaming.pipeline import dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sgs_stream_q_")
+    in_dir, out_dir = f"{work}/in", f"{work}/out"
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select("fp")
+
+
+def q_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded run of the incremental banded near-dup
+    (streaming/pipeline.py minhash_neardup_stream — foreachBatch against
+    the accumulated band index): feed split at the median doc_id so
+    arrival is id-ordered, making the stream's keep-first representative
+    equal the batch min-id representative; a pair then surfaces in the
+    batch where its LATER member arrives, and the drained pair set equals
+    the batch dedup_minhash_lsh pairs (the operator's documented
+    equality precondition, pinned by the streaming tests). Oracle: the
+    batch MinHash pair SQL projected to (a_id, b_id)."""
+    import tempfile
+
+    from swissgeol_ocr_spark.streaming.pipeline import minhash_neardup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.selectExpr("percentile_approx(doc_id, 0.5) AS m").first().m
+    work = tempfile.mkdtemp(prefix="sgs_stream_q_")
+    in_dir = f"{work}/in"
+    docs.filter(F.col("doc_id") <= mid).write.parquet(in_dir)
+    docs.filter(F.col("doc_id") > mid).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = minhash_neardup_stream(
+        stream,
+        index_path=f"{work}/idx",
+        pairs_path=f"{work}/pairs",
+        checkpoint_path=f"{work}/ckpt",
+    )
+    q.awaitTermination(600)
+    try:
+        return spark.read.parquet(f"{work}/pairs").select("a_id", "b_id")
+    except Exception:  # no batch emitted a pair → sink dir never created
+        return spark.createDataFrame([], "a_id bigint, b_id bigint")
+
+
 SQL_SESSIONIZE_STREAM = _SQL_SESSION_CTES + """
 SELECT user_id,
        min(ts) AS window_start,
@@ -4984,6 +5092,14 @@ FROM read_parquet('{_golden_path("dedup_clusters_sf0.01.parquet")}')
 """
 
 
+# streaming-face oracles that derive from SQL literals defined above
+# (the q_* functions live with the other streaming faces near SQL_ASOF)
+SQL_DEDUP_STREAM = "SELECT DISTINCT md5(text) AS fp FROM documents"
+SQL_NEARDUP_STREAM = (
+    "SELECT a_id, b_id FROM (" + SQL_MINHASH.strip() + ")"
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5008,6 +5124,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize_stream": (q_sessionize_stream, SQL_SESSIONIZE_STREAM),
     "asof_stream": (q_asof_stream, SQL_ASOF_STREAM),
     "funnel_stream": (q_funnel_stream, SQL_FUNNEL_STREAM),
+    "extract_stream": (q_extract_stream, SQL_EXTRACT_SEQUENCE),
+    "dedup_stream": (q_dedup_stream, SQL_DEDUP_STREAM),
+    "minhash_neardup_stream": (q_minhash_neardup_stream, SQL_NEARDUP_STREAM),
     "star_join_q5": (q_star_join_q5, SQL_STAR_Q5),
     "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
     "cube_rollup": (q_cube_rollup, SQL_CUBE),
