@@ -702,23 +702,61 @@ _EVENT_DDL = (
 )
 
 
-def _staged_event_stream(spark: SparkSession, sf_dir: str, split: str):
-    """Stage the events table as a two-file micro-batch stream
-    (maxFilesPerTrigger=1 → exactly two triggers, so per-key state MUST
-    carry across a micro-batch boundary — the path that distinguishes a
-    streaming operator from a warm re-run of the batch one).
-
-    split='parity' interleaves halves across the full time range (hardest
-    for session merging; order-insensitive consumers only); split='time'
-    cuts at the median timestamp so per-user event-time order holds
-    across batches — the kafka-partition-by-user deployment shape the
-    order-sensitive stateful operators (as-of, funnel) are specified
-    against. Returns (stream_df, workdir)."""
+def _stream_workdir() -> str:
+    """Temp working tree for a bounded streaming run, reclaimed at process
+    exit (atexit, best-effort). NOT reclaimed earlier on purpose: the
+    returned DataFrames read the sink directory LAZILY, so the files must
+    outlive the call until the driver/test collects them."""
+    import atexit
+    import shutil
     import tempfile
 
-    ev = _t(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="sgs_stream_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
+def _drain(q, timeout_s: int = 600) -> None:
+    """Block until the bounded (availableNow) streaming query finishes.
+    A timeout STOPS the query and raises — silently reading a
+    half-drained sink would surface as an oracle value mismatch blamed on
+    the operator, and the still-running query would compete with every
+    subsequent query in the session."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"bounded streaming run did not drain within {timeout_s}s"
+        )
+
+
+def _staged_two_file_stream(first: DataFrame, second: DataFrame, schema: str):
+    """Stage two DataFrames as a two-file micro-batch stream
+    (maxFilesPerTrigger=1 → exactly two triggers, so per-key state MUST
+    carry across a micro-batch boundary — the path that distinguishes a
+    streaming operator from a warm re-run of the batch one). The file
+    source processes oldest-first, so ``first`` is trigger one. Returns
+    (stream_df, workdir)."""
+    work = _stream_workdir()
     in_dir = f"{work}/in"
+    first.repartition(1).write.parquet(in_dir)
+    second.repartition(1).write.mode("append").parquet(in_dir)
+    spark = first.sparkSession
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    return stream, work
+
+
+def _staged_event_stream(spark: SparkSession, sf_dir: str, split: str):
+    """Events-table staging: split='parity' interleaves halves across the
+    full time range (hardest for session merging; order-insensitive
+    consumers only); split='time' cuts at the median timestamp so
+    per-user event-time order holds across batches — the
+    kafka-partition-by-user deployment shape the order-sensitive stateful
+    operators (as-of, funnel) are specified against."""
+    ev = _t(spark, sf_dir, "events")
     if split == "parity":
         first = ev.filter(F.col("event_id") % 2 == 0)
         second = ev.filter(F.col("event_id") % 2 == 1)
@@ -726,14 +764,7 @@ def _staged_event_stream(spark: SparkSession, sf_dir: str, split: str):
         mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
         first = ev.filter(F.col("ts") <= mid)
         second = ev.filter(F.col("ts") > mid)
-    first.repartition(1).write.parquet(in_dir)
-    second.repartition(1).write.mode("append").parquet(in_dir)
-    stream = (
-        spark.readStream.schema(_EVENT_DDL)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    return stream, work
+    return _staged_two_file_stream(first, second, _EVENT_DDL)
 
 
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,8 +789,12 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    return spark.table(name)
+    _drain(q)
+    # decouple from the memory-sink temp view so it can be dropped now
+    # instead of accumulating one uuid-named table per invocation
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,7 +816,7 @@ def q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain(q)
     return spark.read.parquet(out_dir).select(
         "click_id", "user_id", "click_ts", "matched_view_id", "lag_us"
     )
@@ -807,7 +842,7 @@ def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain(q)
     emits = spark.read.parquet(out_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("reached_stage"))
     return (
@@ -832,14 +867,15 @@ def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the flagship's HARD oracle (SQL_EXTRACT_SEQUENCE — closed-form
     DuckDB regeneration + the pure-python twin's golden for the
     reading-order layout) pins the streaming face too."""
-    import tempfile
-
     from swissgeol_ocr_spark.sources.corpus import documents_to_spans
     from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    spans = documents_to_spans(docs)
-    work = tempfile.mkdtemp(prefix="sgs_stream_q_")
+    # materialize the synthesis ONCE: the two parity writes are separate
+    # actions and Spark has no cross-action common-subplan elimination
+    # (the dedup_clusters lineage-cut precedent)
+    spans = documents_to_spans(docs).localCheckpoint(eager=True)
+    work = _stream_workdir()
     in_dir, out_dir = f"{work}/in", f"{work}/out"
     # internal-invariant cast: the synthesis mints numeric-string doc_ids
     spans.filter(F.col("doc_id").cast("bigint") % 2 == 0).write.parquet(in_dir)
@@ -847,7 +883,7 @@ def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(in_dir)
     q = run_stream_to_parquet(spark, in_dir, out_dir, f"{work}/ckpt")
-    q.awaitTermination(600)
+    _drain(q)
     out = spark.read.parquet(out_dir)
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
         "doc_id",
@@ -866,31 +902,37 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch. WHICH doc survives a group is arrival-order-dependent (the
     operator's keep-first contract), so the oracled projection is the
     emitted fingerprint SET — exactly one row per distinct text —
-    which is deterministic and engine-checkable."""
-    import tempfile
+    which is deterministic and engine-checkable.
 
+    The synthetic corpora are duplicate-free, which would make the fp-set
+    oracle vacuous (removing the dedup would still pass), so every 10th
+    document is re-fed as a PLANTED duplicate in the second file: even
+    originals land in file one, so their copies cross the micro-batch
+    boundary and must be dropped from state; odd originals' copies
+    exercise the in-batch leg. The oracle stays `DISTINCT md5(text)` —
+    planted rows add no new fingerprint, but a broken dedup now emits
+    extra rows and fails the row-count gate."""
     from swissgeol_ocr_spark.streaming.pipeline import dedup_stream
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    work = tempfile.mkdtemp(prefix="sgs_stream_q_")
-    in_dir, out_dir = f"{work}/in", f"{work}/out"
-    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(in_dir)
-    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    stream, work = _staged_two_file_stream(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1).unionByName(dups),
+        "doc_id bigint, text string",
     )
     q = (
         dedup_stream(stream)
         .writeStream.format("parquet")
-        .option("path", out_dir)
+        .option("path", f"{work}/out")
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    return spark.read.parquet(out_dir).select("fp")
+    _drain(q)
+    return spark.read.parquet(f"{work}/out").select("fp")
 
 
 def q_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,20 +945,16 @@ def q_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch dedup_minhash_lsh pairs (the operator's documented
     equality precondition, pinned by the streaming tests). Oracle: the
     batch MinHash pair SQL projected to (a_id, b_id)."""
-    import tempfile
+    from pyspark.errors import AnalysisException
 
     from swissgeol_ocr_spark.streaming.pipeline import minhash_neardup_stream
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mid = docs.selectExpr("percentile_approx(doc_id, 0.5) AS m").first().m
-    work = tempfile.mkdtemp(prefix="sgs_stream_q_")
-    in_dir = f"{work}/in"
-    docs.filter(F.col("doc_id") <= mid).write.parquet(in_dir)
-    docs.filter(F.col("doc_id") > mid).write.mode("append").parquet(in_dir)
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
+    stream, work = _staged_two_file_stream(
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+        "doc_id bigint, text string",
     )
     q = minhash_neardup_stream(
         stream,
@@ -924,10 +962,13 @@ def q_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs_path=f"{work}/pairs",
         checkpoint_path=f"{work}/ckpt",
     )
-    q.awaitTermination(600)
+    _drain(q)
     try:
         return spark.read.parquet(f"{work}/pairs").select("a_id", "b_id")
-    except Exception:  # no batch emitted a pair → sink dir never created
+    except AnalysisException:
+        # ONLY path-not-found (no batch emitted a pair → the append sink
+        # dir was never created); any other failure must propagate, not
+        # masquerade as an empty-but-valid pair set
         return spark.createDataFrame([], "a_id bigint, b_id bigint")
 
 
@@ -5098,6 +5139,22 @@ SQL_DEDUP_STREAM = "SELECT DISTINCT md5(text) AS fp FROM documents"
 SQL_NEARDUP_STREAM = (
     "SELECT a_id, b_id FROM (" + SQL_MINHASH.strip() + ")"
 )
+
+
+# Queries that EXECUTE a bounded streaming job when called and return a
+# read of the drained sink. Registry-wide PLAN sweeps should skip these:
+# the returned DataFrame is a trivial sink scan (asserting no-cartesian
+# on it is vacuous — the interesting plans run inside the streaming
+# query/foreachBatch, guarded by the dedicated streaming tests), and
+# each call costs a full staged run rather than lazy plan construction.
+RUN_ON_CALL = frozenset({
+    "sessionize_stream",
+    "asof_stream",
+    "funnel_stream",
+    "extract_stream",
+    "dedup_stream",
+    "minhash_neardup_stream",
+})
 
 
 # ---------------------------------------------------------------------------

@@ -23,9 +23,15 @@ import io
 
 import pytest
 
-from swissgeol_ocr_spark.plans.queries import QUERIES
+from swissgeol_ocr_spark.plans.queries import QUERIES, RUN_ON_CALL
 
 SF = "/root/testdata/sf0.001"
+
+# RUN_ON_CALL entries execute a bounded streaming job and return a plain
+# sink scan — auditing that scan is vacuous (their real plans run inside
+# the streaming query, covered by tests/test_streaming_multimodal.py),
+# and each would cost a full staged run per sweep.
+GUARDED = sorted(set(QUERIES) - RUN_ON_CALL)
 
 
 def _formatted_plan(df) -> str:
@@ -37,7 +43,7 @@ def _formatted_plan(df) -> str:
     return buf.getvalue()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", GUARDED)
 def test_no_cartesian_or_row_udf(spark, name):
     fn, _ = QUERIES[name]
     plan = _formatted_plan(fn(spark, SF))
