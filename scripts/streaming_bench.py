@@ -60,13 +60,18 @@ def build_spark():
     return spark
 
 
-def stage_spans(spark, work: str) -> tuple[str, int, int]:
+SLICE_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_SLICE_PARTS", CPUS))
+
+
+def stage_spans(spark, work: str) -> tuple[str, int]:
     """Replicate the corpus ×MULT, synthesize spans once, stage K slices
-    (split by a stable doc_id hash — each a future micro-batch). Every
-    slice keeps its full part-file fan-out so a trigger has enough input
-    splits to run 32-wide; run_stream groups one slice's files per
-    trigger via maxFilesPerTrigger. Returns (in_dir, n_docs,
-    files_per_trigger)."""
+    (split by a stable doc_id hash — each a future micro-batch). Each
+    slice is repartitioned to EXACTLY SLICE_PARTS files, so
+    maxFilesPerTrigger=SLICE_PARTS yields exactly K triggers, each wide
+    enough to fan the kernel across every core (one file per trigger
+    measured ×21 — a staging artifact, not streaming cost). The K
+    filtered writes re-scan the localCheckpoint'ed spans — in-memory,
+    setup-only, untimed."""
     from swissgeol_ocr_spark.sources.corpus import (
         documents_to_spans,
         replicate_documents,
@@ -80,77 +85,71 @@ def stage_spans(spark, work: str) -> tuple[str, int, int]:
     n_docs = spans.count()
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(K_FILES))
     for k in range(K_FILES):
-        spans.filter(bucket == k).write.mode("append").parquet(in_dir)
-    n_files = len(
-        [f for f in os.listdir(in_dir) if f.startswith("part-")]
-    )
-    per_trigger = -(-n_files // K_FILES)  # ceil → K triggers
-    return in_dir, n_docs, per_trigger
+        spans.filter(bucket == k).repartition(SLICE_PARTS).write.mode(
+            "append"
+        ).parquet(in_dir)
+    return in_dir, n_docs
 
 
-def run_batch(spark, in_dir: str, out_dir: str) -> float:
+def _drain_or_die(q, timeout_s: int) -> None:
+    """stop+raise on timeout (never a bare assert: stripped under -O, and
+    a hung query would keep running while the next pass rmtree's its
+    dirs — the same guard rule as plans/queries._drain)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"stream leg did not drain in {timeout_s}s")
+
+
+def run_batch(spark, in_dir: str, out_dir: str, passthrough: bool) -> float:
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    # repartition=False: the staged input is already well-spread (K files
-    # × many row groups) — identical input contract to the stream leg
+    # repartition=False: the staged input is already well-spread (K×32
+    # files) — identical input contract to the stream leg.
+    # passthrough=False is the apples-to-apples leg: extract_stream is a
+    # bare mapInArrow, so pricing ONLY micro-batch orchestration requires
+    # the batch leg to push every doc through the same kernel; the
+    # passthrough=True leg is reported separately as the production
+    # batch number (no-media docs take the cheaper JVM branch).
     extract_pipeline(
-        spark.read.parquet(in_dir), repartition=False
+        spark.read.parquet(in_dir),
+        repartition=False,
+        use_jvm_passthrough=passthrough,
     ).write.parquet(out_dir)
     return time.perf_counter() - t0
 
 
-def run_stream(spark, in_dir: str, out_dir: str, ckpt: str,
-               per_trigger: int) -> float:
-    from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
-    from swissgeol_ocr_spark.streaming.pipeline import extract_stream
+def run_stream(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
+    """Returns (wall, n_triggers) — trigger count read from the drained
+    query's progress, never assumed from the staging layout."""
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
 
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    schema = f"doc_id string, spans {spans_schema_ddl()}"
     t0 = time.perf_counter()
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", per_trigger)
-        .parquet(in_dir)
+    q = run_stream_to_parquet(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS
     )
-    q = (
-        extract_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    _drain_or_die(q, 1200)
+    dt = time.perf_counter() - t0
+    n_triggers = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
     )
-    assert q.awaitTermination(1200), "stream leg did not drain"
-    return time.perf_counter() - t0
+    return dt, n_triggers
 
 
-def resume_probe(spark, in_dir: str, out_dir: str, ckpt: str,
-                 per_trigger: int) -> tuple[float, int]:
+def resume_probe(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
     """Re-run the drained stream: checkpoint says all files are done, so
     0 new rows — timed to show resume costs scheduler seconds, not work."""
-    from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
-    from swissgeol_ocr_spark.streaming.pipeline import extract_stream
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
 
     before = spark.read.parquet(out_dir).count()
-    schema = f"doc_id string, spans {spans_schema_ddl()}"
     t0 = time.perf_counter()
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", per_trigger)
-        .parquet(in_dir)
+    q = run_stream_to_parquet(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS
     )
-    q = (
-        extract_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(600)
+    _drain_or_die(q, 600)
     dt = time.perf_counter() - t0
     after = spark.read.parquet(out_dir).count()
     return dt, after - before
@@ -167,7 +166,10 @@ def run_sessionize_batch(spark) -> float:
     return time.perf_counter() - t0
 
 
-def run_sessionize_stream(spark, work: str, tag: str) -> float:
+def run_sessionize_stream(spark, tag: str) -> float:
+    # staging + checkpoint live in _staged_event_stream's own atexit-
+    # reclaimed temp dir, deliberately NOT the bench workdir (the sink
+    # table is read before this function returns, so that's safe)
     from swissgeol_ocr_spark.plans.queries import _staged_event_stream
     from swissgeol_ocr_spark.streaming.pipeline import sessionize_stream
 
@@ -183,7 +185,7 @@ def run_sessionize_stream(spark, work: str, tag: str) -> float:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600)
+    _drain_or_die(q, 600)
     df = spark.table(name)
     df.agg(
         F.count(F.lit(1)), F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
@@ -197,47 +199,55 @@ def main() -> None:
     spark = build_spark()
     work = tempfile.mkdtemp(prefix="sgs_streambench_")
     try:
-        in_dir, n_docs, per_trigger = stage_spans(spark, work)
+        in_dir, n_docs = stage_spans(spark, work)
         print(
-            f"staged {n_docs} docs, {K_FILES} slices, "
-            f"{per_trigger} files/trigger",
+            f"staged {n_docs} docs, {K_FILES} slices × {SLICE_PARTS} files",
             flush=True,
         )
 
-        batch_t, stream_t = [], []
+        kern_t, prod_t, stream_t, trig_counts = [], [], [], []
         for p in range(PASSES):  # interleaved best-of
-            batch_t.append(run_batch(spark, in_dir, f"{work}/out_b"))
-            stream_t.append(
-                run_stream(
-                    spark, in_dir, f"{work}/out_s", f"{work}/ckpt", per_trigger
-                )
+            kern_t.append(
+                run_batch(spark, in_dir, f"{work}/out_b", passthrough=False)
+            )
+            s_dt, s_trig = run_stream(
+                spark, in_dir, f"{work}/out_s", f"{work}/ckpt"
+            )
+            stream_t.append(s_dt)
+            trig_counts.append(s_trig)
+            prod_t.append(
+                run_batch(spark, in_dir, f"{work}/out_b", passthrough=True)
             )
             print(
-                f"pass {p}: batch {batch_t[-1]:.2f}s stream {stream_t[-1]:.2f}s",
+                f"pass {p}: kernel-batch {kern_t[-1]:.2f}s stream"
+                f" {s_dt:.2f}s ({s_trig} triggers) prod-batch"
+                f" {prod_t[-1]:.2f}s",
                 flush=True,
             )
         res_t, res_rows = resume_probe(
-            spark, in_dir, f"{work}/out_s", f"{work}/ckpt", per_trigger
+            spark, in_dir, f"{work}/out_s", f"{work}/ckpt"
         )
         print(f"resume: {res_t:.2f}s, {res_rows} new rows", flush=True)
 
         sb, ss = [], []
         for p in range(PASSES):
             sb.append(run_sessionize_batch(spark))
-            ss.append(run_sessionize_stream(spark, work, f"{p}"))
+            ss.append(run_sessionize_stream(spark, f"{p}"))
             print(f"sess pass {p}: batch {sb[-1]:.2f}s stream {ss[-1]:.2f}s",
                   flush=True)
 
-        b, s = min(batch_t), min(stream_t)
+        b, s, prod = min(kern_t), min(stream_t), min(prod_t)
+        n_trig = max(trig_counts)
         sbb, ssb = min(sb), min(ss)
         lines = [
             "# Streaming vs batch — measured overhead (same input, same kernel)",
             "",
             f"Corpus: `{SF_DIR}` replicated ×{MULT} ({n_docs} docs), spans"
-            f" staged as {K_FILES} slices of ~{per_trigger} part-files"
-            " each (maxFilesPerTrigger groups one slice per trigger, so"
-            " every micro-batch still fans out 32-wide — one file per"
-            f" trigger would serialize the kernel); `local[{CPUS}]`;"
+            f" staged as {K_FILES} slices of exactly {SLICE_PARTS}"
+            " part-files each (maxFilesPerTrigger groups one slice per"
+            " trigger, so every micro-batch still fans out"
+            f" {SLICE_PARTS}-wide — one file per trigger measured ×21, a"
+            f" staging artifact, not streaming cost); `local[{CPUS}]`;"
             f" best-of-{PASSES} interleaved passes (single passes drift"
             " ±25-40% with host noise — CLAUDE.md bench discipline).",
             "",
@@ -245,16 +255,26 @@ def main() -> None:
             "",
             "| leg | wall | docs/s |",
             "|---|---|---|",
-            f"| batch `extract_pipeline` → parquet | {b:.2f}s | {n_docs / b:,.0f} |",
-            f"| stream ({K_FILES} micro-batches, checkpointed exactly-once"
+            f"| batch, kernel-only (`use_jvm_passthrough=False` — same"
+            f" work as the stream leg) | {b:.2f}s | {n_docs / b:,.0f} |",
+            f"| stream ({n_trig} micro-batches, checkpointed exactly-once"
             f" sink) | {s:.2f}s | {n_docs / s:,.0f} |",
+            f"| batch, production (passthrough on: no-media docs take the"
+            f" JVM branch) | {prod:.2f}s | {n_docs / prod:,.0f} |",
             "",
-            f"Streaming overhead: ×{s / b:.2f} wall ("
-            f"{(s - b):.2f}s for {K_FILES} triggers — per-trigger planning +"
-            " sink commit + state bookkeeping). The kernel work is"
-            " identical (stateless mapInArrow both legs), so this prices"
-            " ONLY the micro-batch orchestration a continuous ingest pays"
-            " for exactly-once semantics.",
+            f"Streaming overhead: ×{s / b:.2f} wall vs the KERNEL-ONLY"
+            f" batch ({(s - b):.2f}s across {n_trig} triggers, measured"
+            " from the drained query's progress — per-trigger planning +"
+            " sink commit + source bookkeeping). The comparison is"
+            " apples-to-apples: extract_stream is a bare mapInArrow, so"
+            " the kernel-only batch leg pushes every doc through the same"
+            " kernel. The production row is the default-config batch"
+            " number (passthrough on); its delta vs kernel-only is"
+            " mix- and host-dependent and can sit inside same-day noise."
+            " Streaming deployments wanting the full pipeline semantics"
+            " (passthrough + mega page split) use submit_extract_stream"
+            " --mode batch, which runs extract_pipeline per micro-batch"
+            " via foreachBatch (at-least-once).",
             "",
             f"Resume probe: re-running the drained stream against its"
             f" checkpoint processed **{res_rows} new rows in {res_t:.2f}s**"

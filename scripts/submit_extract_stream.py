@@ -7,23 +7,36 @@ Deploy:
     spark-submit --py-files swissgeol_ocr_spark.zip \
         scripts/submit_extract_stream.py \
         --input  <spans table dir — new parquet files = new documents> \
-        --output <output dir (exactly-once file sink)> \
+        --output <output dir> \
         --checkpoint <checkpoint dir> \
-        [--drain]                  # availableNow: process backlog, exit
-        [--max-files-per-trigger N]  # micro-batch size lever; size it so
+        [--mode sink|batch]          # see below; default sink
+        [--drain]                    # availableNow: process backlog, exit
+        [--max-files-per-trigger N]  # micro-batch width lever: size it so
                                      # a trigger spans >= cluster cores of
                                      # input splits, or the kernel stage
                                      # under-fans (BENCH/STREAMING.md)
         [--aggressive] [--confidence-threshold 0.7]
-        [--timeout-s N]            # with --drain: bound the run
+        [--timeout-s N]              # with --drain: bound the run
 
-The streaming twin of scripts/submit_extract.py: same Arrow kernel
-(stateless mapInArrow — reference processes documents one by one,
-main.py:71), with the batch job's resume anti-join replaced by the
-checkpoint's exactly-once file-source/sink contract — a restart with the
-same --checkpoint re-processes nothing (measured 0 rows / 0.25s,
-BENCH/STREAMING.md). Without --drain the query runs until killed, the
-deployment shape for a continuous ingest feed.
+Two modes, one trade:
+
+* ``--mode sink`` (default): stateless mapInArrow kernel → built-in file
+  sink. EXACTLY-ONCE output (restart with the same --checkpoint
+  re-processes nothing — measured 0 rows / 0.25s, BENCH/STREAMING.md).
+  Limitation: no mega-doc page split — one above-cutoff document (>20k
+  spans) serializes its whole trigger into a single task, the exact skew
+  the batch pipeline's page-chunk subtree exists to break. Right choice
+  when the feed is known sub-cutoff (the real corpus is ~99% there).
+* ``--mode batch``: foreachBatch runs the FULL batch pipeline
+  (extract_pipeline: JVM passthrough for no-media docs + page-split/
+  reassemble for mega docs) per micro-batch and appends parquet.
+  AT-LEAST-ONCE output: a crash between the append and the checkpoint
+  commit replays one micro-batch on restart — dedup downstream on doc_id
+  (the skip-existing anti-join, reference ocr/target.py:29-33) or accept
+  duplicates. Right choice when the feed can contain mega documents.
+
+The streaming twin of scripts/submit_extract.py; same Arrow kernel
+(reference processes documents one by one, main.py:71).
 """
 
 from __future__ import annotations
@@ -39,6 +52,7 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", choices=("sink", "batch"), default="sink")
     ap.add_argument("--drain", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--aggressive", action="store_true")
@@ -47,27 +61,41 @@ def main() -> None:
     args = ap.parse_args()
 
     from swissgeol_ocr_spark.plans.config import ExtractConfig
-    from swissgeol_ocr_spark.plans.pipeline import configure_spark
-    from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
-    from swissgeol_ocr_spark.streaming.pipeline import extract_stream
+    from swissgeol_ocr_spark.plans.pipeline import configure_spark, extract_pipeline
+    from swissgeol_ocr_spark.streaming.pipeline import (
+        extract_stream,
+        read_spans_stream,
+    )
 
     spark = configure_spark(
-        SparkSession.builder.appName("swissgeol-extract-stream")
+        SparkSession.builder.appName(f"swissgeol-extract-stream-{args.mode}")
     ).getOrCreate()
 
     config = ExtractConfig(
         confidence_threshold=args.confidence_threshold,
         use_aggressive_strategy=args.aggressive,
     )
-    reader = spark.readStream.schema(f"doc_id string, spans {spans_schema_ddl()}")
-    if args.max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
-    writer = (
-        extract_stream(reader.parquet(args.input), config)
-        .writeStream.format("parquet")
-        .option("path", args.output)
-        .option("checkpointLocation", args.checkpoint)
-    )
+    stream = read_spans_stream(spark, args.input, args.max_files_per_trigger)
+    if args.mode == "sink":
+        writer = (
+            extract_stream(stream, config)
+            .writeStream.format("parquet")
+            .option("path", args.output)
+            .option("checkpointLocation", args.checkpoint)
+        )
+    else:
+
+        def process(batch_df, batch_id: int) -> None:
+            # repartition=True: a micro-batch arrives with file-source
+            # partitioning; the pipeline's hash(doc_id) exchange feeds
+            # both branches once and the mega split needs it anyway
+            extract_pipeline(batch_df, config=config).write.mode(
+                "append"
+            ).parquet(args.output)
+
+        writer = stream.writeStream.foreachBatch(process).option(
+            "checkpointLocation", args.checkpoint
+        )
     if args.drain:
         q = writer.trigger(availableNow=True).start()
         ok = q.awaitTermination(args.timeout_s) if args.timeout_s else (

@@ -38,11 +38,19 @@ from swissgeol_ocr_spark.plans.pipeline import OUT_SCHEMA, _extract_batches
 from swissgeol_ocr_spark.sources.corpus import spans_schema_ddl
 
 
-def read_spans_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_spans_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over a spans-table directory (new parquet files =
-    new documents; Iceberg appends behave the same on a cluster)."""
-    schema = f"doc_id string, spans {spans_schema_ddl()}"
-    return spark.readStream.schema(schema).parquet(path)
+    new documents; Iceberg appends behave the same on a cluster).
+    ``max_files_per_trigger`` is the micro-batch width lever: size it so a
+    trigger spans at least one input split per core, or the kernel stage
+    under-fans (measured in BENCH/STREAMING.md — one FILE per trigger
+    turned 4 intended micro-batches into ~128 near-empty ones)."""
+    reader = spark.readStream.schema(f"doc_id string, spans {spans_schema_ddl()}")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def extract_stream(stream_df: DataFrame, config: ExtractConfig | None = None) -> DataFrame:
@@ -763,11 +771,12 @@ def run_stream_to_parquet(
     out_path: str,
     checkpoint_path: str,
     config: ExtractConfig | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end streaming job: spans-dir → extraction → parquet sink with
     checkpoint/resume (exactly-once file sink semantics replace the
     reference's skip-existing anti-join in streaming mode)."""
-    stream = read_spans_stream(spark, in_path)
+    stream = read_spans_stream(spark, in_path, max_files_per_trigger)
     extracted = extract_stream(stream, config)
     return (
         extracted.writeStream.format("parquet")
