@@ -61,9 +61,10 @@ def main() -> None:
     args = ap.parse_args()
 
     from swissgeol_ocr_spark.plans.config import ExtractConfig
-    from swissgeol_ocr_spark.plans.pipeline import configure_spark, extract_pipeline
+    from swissgeol_ocr_spark.plans.pipeline import configure_spark
     from swissgeol_ocr_spark.streaming.pipeline import (
         extract_stream,
+        full_pipeline_writer,
         read_spans_stream,
     )
 
@@ -84,18 +85,7 @@ def main() -> None:
             .option("checkpointLocation", args.checkpoint)
         )
     else:
-
-        def process(batch_df, batch_id: int) -> None:
-            # repartition=True: a micro-batch arrives with file-source
-            # partitioning; the pipeline's hash(doc_id) exchange feeds
-            # both branches once and the mega split needs it anyway
-            extract_pipeline(batch_df, config=config).write.mode(
-                "append"
-            ).parquet(args.output)
-
-        writer = stream.writeStream.foreachBatch(process).option(
-            "checkpointLocation", args.checkpoint
-        )
+        writer = full_pipeline_writer(stream, args.output, args.checkpoint, config)
     if args.drain:
         q = writer.trigger(availableNow=True).start()
         ok = q.awaitTermination(args.timeout_s) if args.timeout_s else (

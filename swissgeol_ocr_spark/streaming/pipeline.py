@@ -785,3 +785,54 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def full_pipeline_writer(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    config: ExtractConfig | None = None,
+):
+    """foreachBatch writer running the FULL batch pipeline (JVM passthrough
+    for no-media docs + page-split/reassemble for mega docs) per
+    micro-batch. The stateless ``extract_stream`` sink cannot split a
+    mega document — one above-cutoff doc would serialize its whole trigger
+    into a single task — so feeds that can contain mega docs route through
+    this writer instead (submit_extract_stream --mode batch).
+
+    Semantics: AT-LEAST-ONCE (parquet append is not transactional with the
+    checkpoint commit — a crash between them replays one micro-batch on
+    restart; dedup downstream on doc_id, the skip-existing anti-join of
+    reference ocr/target.py:29-33, or accept duplicates). A clean restart
+    against a drained checkpoint re-processes nothing."""
+    from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # repartition=True (default): a micro-batch arrives with
+        # file-source partitioning; the pipeline's hash(doc_id) exchange
+        # feeds both branches once and the mega split needs it anyway
+        extract_pipeline(batch_df, config=config).write.mode("append").parquet(
+            out_path
+        )
+
+    return stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+
+
+def run_stream_full_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    config: ExtractConfig | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Bounded (availableNow) drain of ``full_pipeline_writer`` — the
+    mega-doc-safe twin of ``run_stream_to_parquet``."""
+    stream = read_spans_stream(spark, in_path, max_files_per_trigger)
+    return (
+        full_pipeline_writer(stream, out_path, checkpoint_path, config)
+        .trigger(availableNow=True)
+        .start()
+    )

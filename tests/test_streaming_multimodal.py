@@ -1060,3 +1060,56 @@ def test_timeout_quarantine_leaves_tombstone():
     state.hasTimedOut = True
     out = list(reassemble(("d",), iter([]), state))
     assert out == [] and not state.exists
+
+
+def test_stream_full_pipeline_matches_batch_with_mega(spark, sf_dir, tmp_path):
+    """The --mode batch deployment face (submit_extract_stream): foreachBatch
+    runs the FULL batch pipeline per micro-batch, so above-cutoff documents
+    take the page-split/reassemble subtree even when they arrive on a
+    stream — the one skew the stateless ``extract_stream`` sink cannot
+    break (one mega doc would serialize its whole trigger into one task).
+    Stage two files → two micro-batches; pick the cutoff at the median span
+    count so BOTH the mega and the small branch carry documents; pin the
+    drained sink against the batch pipeline under the same config, and pin
+    the clean-restart no-replay contract (at-least-once only loses to a
+    crash BETWEEN append and checkpoint commit, never to a clean rerun)."""
+    from swissgeol_ocr_spark.plans.config import ExtractConfig
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_full_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    spans = documents_to_spans(docs)
+    counts = sorted(
+        r.n for r in spans.select(F.size("spans").alias("n")).collect()
+    )
+    cutoff = counts[len(counts) // 2]
+    assert counts[0] <= cutoff < counts[-1], "need docs on both sides"
+    cfg = ExtractConfig(mega_doc_span_cutoff=cutoff)
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spans.repartition(2).write.parquet(in_dir)
+
+    q = run_stream_full_pipeline(
+        spark, in_dir, out_dir, ckpt, cfg, max_files_per_trigger=1
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("full-pipeline stream did not drain")
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 2
+
+    stream_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(spans, config=cfg).collect()
+    }
+    assert stream_out == batch_out
+
+    q2 = run_stream_full_pipeline(
+        spark, in_dir, out_dir, ckpt, cfg, max_files_per_trigger=1
+    )
+    if not q2.awaitTermination(60):
+        q2.stop()
+        raise RuntimeError("restart probe did not drain")
+    assert spark.read.parquet(out_dir).count() == len(batch_out)
