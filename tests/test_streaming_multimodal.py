@@ -1113,3 +1113,63 @@ def test_stream_full_pipeline_matches_batch_with_mega(spark, sf_dir, tmp_path):
         q2.stop()
         raise RuntimeError("restart probe did not drain")
     assert spark.read.parquet(out_dir).count() == len(batch_out)
+
+
+def test_stream_full_pipeline_replay_after_crash(spark, sf_dir, tmp_path):
+    """The at-least-once contract of the foreachBatch face, exercised for
+    real: deleting the LAST checkpoint commit marker reproduces a crash
+    between the micro-batch's parquet append and its commit — on restart
+    Spark replays exactly that micro-batch from the recorded offsets,
+    duplicating its doc_ids in the sink. The replay is deterministic
+    (same kernel, same input files), so the documented downstream dedup
+    (one row per doc_id — the skip-existing anti-join shape, reference
+    ocr/target.py:29-33) restores the batch-pipeline result exactly."""
+    import glob
+    import os
+
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_full_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    spans = documents_to_spans(docs)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spans.repartition(2).write.parquet(in_dir)
+
+    q = run_stream_full_pipeline(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=1
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("initial drain did not finish")
+    n_docs = spans.count()
+    assert spark.read.parquet(out_dir).count() == n_docs
+
+    # crash injection: batch 1 appended its output but never committed
+    victims = glob.glob(f"{ckpt}/commits/1") + glob.glob(f"{ckpt}/commits/.1.crc")
+    assert any(not v.endswith(".crc") for v in victims), "expected 2 batches"
+    for v in victims:
+        os.remove(v)
+
+    q2 = run_stream_full_pipeline(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=1
+    )
+    if not q2.awaitTermination(180):
+        q2.stop()
+        raise RuntimeError("recovery drain did not finish")
+
+    sink = spark.read.parquet(out_dir)
+    per_doc = {r.doc_id: r.n for r in sink.groupBy("doc_id").count()
+               .withColumnRenamed("count", "n").collect()}
+    n_replayed = sum(1 for n in per_doc.values() if n == 2)
+    assert n_replayed > 0, "replay produced no duplicates — crash not simulated"
+    assert set(per_doc.values()) == {1, 2}, "a doc replayed more than once"
+    assert sink.count() == n_docs + n_replayed
+
+    deduped = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in sink.dropDuplicates(["doc_id"]).collect()
+    }
+    batch_out = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out]
+        for r in extract_pipeline(spans).collect()
+    }
+    assert deduped == batch_out
