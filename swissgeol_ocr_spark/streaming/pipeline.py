@@ -28,6 +28,7 @@ modes (Spark's own batch/streaming unification).
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, SparkSession
@@ -693,11 +694,16 @@ def minhash_neardup_stream(
     batch pair set (given id-ordered arrival and under-cap buckets) is
     pinned by tests/test_streaming_multimodal.py.
 
-    Scale shape: everything shuffles on the compact band key; the index
-    grows one row per (distinct text × 4 bands) — the same relation the
-    batch job banded, accumulated incrementally — and each batch's work is
-    O(batch bands + touched buckets), independent of stream history
-    length except through genuinely-colliding buckets."""
+    Scale shape: the accumulated index is PROBED, never shuffled — both
+    the exact-dup filter (known fingerprints) and the band census/pair
+    join semi-join the index against broadcast micro-batch-sized key sets
+    (the batch's fps / its touched band keys), so each trigger's work is
+    O(index rows in touched buckets), independent of stream history
+    length except through genuinely-colliding buckets. The index grows
+    one row per (distinct text × 4 bands) — the same relation the batch
+    job banded, accumulated incrementally. Over-cap (hot) touched buckets
+    trip a per-trigger warning — the streaming half of the batch face's
+    ``dedup_band_guard`` tripwire."""
     from swissgeol_ocr_spark.functions import textops
     from swissgeol_ocr_spark.plans.config import DedupConfig
 
@@ -713,7 +719,16 @@ def minhash_neardup_stream(
         except Exception:  # first batch — no index committed yet
             idx = None
         if idx is not None:
-            new_reps = reps.join(idx.select("fp").distinct(), "fp", "left_anti")
+            # exact-dup filter as a broadcast PROBE, not an index shuffle:
+            # only the batch's own fingerprints can match, so semi-join the
+            # index down to them (scan, no exchange), then anti-join the
+            # micro-batch against that micro-batch-sized survivor set
+            known_fps = (
+                idx.select("fp")
+                .join(F.broadcast(reps.select("fp").distinct()), "fp", "left_semi")
+                .distinct()
+            )
+            new_reps = reps.join(F.broadcast(known_fps), "fp", "left_anti")
         else:
             new_reps = reps
         new_reps = new_reps.localCheckpoint(eager=True)  # read idx BEFORE appending
@@ -723,20 +738,42 @@ def minhash_neardup_stream(
         banded_new = textops.minhash_band_relation(new_reps, pin=False).join(
             new_reps.select("doc_id", "fp"), "doc_id"
         )
-        old_banded = (
-            idx.select("doc_id", "band_key")
+        # probe ONLY the buckets this batch touches: a pair needs a new
+        # member, so untouched buckets can neither pair nor change
+        # admission, and cumulative counts per touched key are unchanged.
+        # Broadcasting the micro-batch-sized key set keeps the index probe
+        # shuffle-free — per-trigger work is O(index rows in touched
+        # buckets), independent of stream history length.
+        touched = banded_new.select("band_key").distinct()
+        old_touched = (
+            idx.select("doc_id", "band_key").join(
+                F.broadcast(touched), "band_key", "left_semi"
+            )
             if idx is not None
             else banded_new.select("doc_id", "band_key").limit(0)
         )
-        all_banded = old_banded.unionByName(
+        # eager checkpoint: census, both pair-join sides, and the skew
+        # alarm all consume this relation — Spark has no common-subplan
+        # elimination, so without the cut each consumer would re-probe
+        # the index (the multi-consumer trap, CLAUDE.md)
+        all_banded = old_touched.unionByName(
             banded_new.select("doc_id", "band_key")
-        )
-        admitted = (
-            all_banded.groupBy("band_key")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= cap_v)
-            .select("band_key")
-        )
+        ).localCheckpoint(eager=True)
+        census = all_banded.groupBy("band_key").agg(F.count("*").alias("_n"))
+        admitted = census.filter(F.col("_n") <= cap_v).select("band_key")
+        # the tripwire half of the batch face's dedup_band_guard (round-4
+        # verdict #5), per trigger: hot buckets are routed out silently by
+        # the cap — surface them before they silently cost recall
+        over = census.filter(F.col("_n") > cap_v).agg(
+            F.count("*").alias("n_over"), F.max("_n").alias("max_bucket")
+        ).collect()[0]
+        if over.n_over:
+            logging.getLogger("swissgeol_ocr_spark.dedup").warning(
+                "dedup band skew [stream batch %s]: %s touched bucket(s) "
+                "exceed band_bucket_cap=%s (max %s) — routed out of the "
+                "pair join (recall cost; see dedup_band_guard)",
+                batch_id, over.n_over, cap_v, over.max_bucket,
+            )
         newk = banded_new.join(admitted, "band_key", "left_semi")
         allk = all_banded.join(admitted, "band_key", "left_semi")
         pairs = (

@@ -1173,3 +1173,54 @@ def test_stream_full_pipeline_replay_after_crash(spark, sf_dir, tmp_path):
         for r in extract_pipeline(spans).collect()
     }
     assert deduped == batch_out
+
+
+def test_streaming_neardup_cap_prefix_greedy(spark, tmp_path, caplog):
+    """Hot-bucket routing on the stream is prefix-greedy and never silent:
+    3 colliding docs arrive first (cumulative bucket population == cap →
+    their pairs are admitted and STAY emitted), then 7 more collide into
+    the same 4 buckets (cumulative 10 > cap → routed out, no quadratic
+    blow-up, and the per-trigger skew alarm fires — the streaming half of
+    dedup_band_guard). Routing never touches index integrity: all 10
+    distinct texts stay indexed for batch re-runs to decide from the full
+    population."""
+    import logging as _logging
+
+    from test_queries import _minhash_colliding_docs
+
+    from swissgeol_ocr_spark.streaming.pipeline import minhash_neardup_stream
+
+    docs = [(i, text) for i, text, _, _ in _minhash_colliding_docs(10)]
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(docs[:3], schema).repartition(1).write.parquet(in_dir)
+    spark.createDataFrame(docs[3:], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    with caplog.at_level(_logging.WARNING, logger="swissgeol_ocr_spark.dedup"):
+        q = minhash_neardup_stream(
+            stream,
+            index_path=str(tmp_path / "bandindex"),
+            pairs_path=str(tmp_path / "pairs"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            cap=3,
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError("neardup stream did not drain")
+
+    pairs = {(r.a_id, r.b_id)
+             for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}  # the admitted prefix, nothing more
+    idx = spark.read.parquet(str(tmp_path / "bandindex"))
+    assert idx.count() == 10 * 4
+    assert idx.select("fp").distinct().count() == 10
+    warns = [r.getMessage() for r in caplog.records
+             if "dedup band skew" in r.getMessage()]
+    assert warns, "over-cap routing must not be silent"
+    assert all("band_bucket_cap=3" in w for w in warns)
+    assert any("4 touched bucket(s)" in w for w in warns)  # batch 2: all hot
