@@ -92,12 +92,11 @@ def stage_spans(spark, work: str) -> tuple[str, int]:
 
 
 def _drain_or_die(q, timeout_s: int) -> None:
-    """stop+raise on timeout (never a bare assert: stripped under -O, and
-    a hung query would keep running while the next pass rmtree's its
-    dirs — the same guard rule as plans/queries._drain)."""
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise RuntimeError(f"stream leg did not drain in {timeout_s}s")
+    """Drain guard — delegates to the canonical plans/queries helper so
+    the stop+raise-on-timeout rule has exactly one implementation."""
+    from swissgeol_ocr_spark.plans.queries import _drain
+
+    _drain(q, timeout_s)
 
 
 def run_batch(spark, in_dir: str, out_dir: str, passthrough: bool) -> float:

@@ -22,7 +22,7 @@ Two modes, one trade:
 
 * ``--mode sink`` (default): stateless mapInArrow kernel → built-in file
   sink. EXACTLY-ONCE output (restart with the same --checkpoint
-  re-processes nothing — measured 0 rows / 0.25s, BENCH/STREAMING.md).
+  re-processes nothing — resume probe measured in BENCH/STREAMING.md).
   Limitation: no mega-doc page split — one above-cutoff document (>20k
   spans) serializes its whole trigger into a single task, the exact skew
   the batch pipeline's page-chunk subtree exists to break. Right choice

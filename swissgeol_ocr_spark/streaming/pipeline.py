@@ -659,6 +659,14 @@ def funnel_stream(
     )
 
 
+# Largest micro-batch (in exact-collapsed representatives) that still takes
+# the broadcast-probe path in minhash_neardup_stream. 1M fp strings ≈ tens
+# of MB broadcast — far under driver memory and the 8GB BroadcastExchange
+# hard limit; anything larger is a backlog bootstrap, not a micro-batch,
+# and falls back to plain shuffle joins.
+_PROBE_MAX_REPS = 1_000_000
+
+
 def minhash_neardup_stream(
     docs_stream: DataFrame,
     index_path: str,
@@ -694,16 +702,22 @@ def minhash_neardup_stream(
     batch pair set (given id-ordered arrival and under-cap buckets) is
     pinned by tests/test_streaming_multimodal.py.
 
-    Scale shape: the accumulated index is PROBED, never shuffled — both
-    the exact-dup filter (known fingerprints) and the band census/pair
-    join semi-join the index against broadcast micro-batch-sized key sets
-    (the batch's fps / its touched band keys), so each trigger's work is
-    O(index rows in touched buckets), independent of stream history
-    length except through genuinely-colliding buckets. The index grows
-    one row per (distinct text × 4 bands) — the same relation the batch
-    job banded, accumulated incrementally. Over-cap (hot) touched buckets
-    trip a per-trigger warning — the streaming half of the batch face's
-    ``dedup_band_guard`` tripwire."""
+    Scale shape: in the micro-batch regime (batch representatives ≤
+    ``_PROBE_MAX_REPS``) the accumulated index is SCANNED but never
+    SHUFFLED — the exact-dup filter and the band census/pair join
+    semi-join the index against broadcast micro-batch-sized key sets (the
+    batch's fps / its touched band keys), so only touched-bucket rows
+    survive into any exchange or join. The per-trigger index READ is
+    still a linear parquet scan (at deployment, partition the index table
+    by a band-key/fp prefix to prune it); all shuffle and join work is
+    O(index rows in touched buckets). A backlog-sized batch (e.g. a fresh
+    checkpoint over a full directory with no maxFilesPerTrigger) exceeds
+    the guard and falls back to plain shuffle joins — correct at any
+    size, like the batch face. The index grows one row per (distinct
+    text × 4 bands) — the same relation the batch job banded, accumulated
+    incrementally. Over-cap (hot) touched buckets trip a per-trigger
+    warning — the streaming half of the batch face's ``dedup_band_guard``
+    tripwire."""
     from swissgeol_ocr_spark.functions import textops
     from swissgeol_ocr_spark.plans.config import DedupConfig
 
@@ -711,14 +725,23 @@ def minhash_neardup_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        reps = textops.exact_collapse(
-            batch_df.select("doc_id", "text")
-        ).withColumn("fp", F.md5("text"))
+        # eager checkpoint: the strategy choice below needs a count, and
+        # the collapse's groupBy must not re-run for it
+        reps = (
+            textops.exact_collapse(batch_df.select("doc_id", "text"))
+            .withColumn("fp", F.md5("text"))
+            .localCheckpoint(eager=True)
+        )
+        # forced broadcasts have no size safety net (driver memory + the
+        # 8GB BroadcastExchange hard limit) — only probe when the batch is
+        # actually micro-batch-sized; a backlog-sized batch (fresh
+        # checkpoint, no maxFilesPerTrigger) takes the shuffle joins
+        probe = reps.count() <= _PROBE_MAX_REPS
         try:
             idx = spark.read.parquet(index_path)
         except Exception:  # first batch — no index committed yet
             idx = None
-        if idx is not None:
+        if idx is not None and probe:
             # exact-dup filter as a broadcast PROBE, not an index shuffle:
             # only the batch's own fingerprints can match, so semi-join the
             # index down to them (scan, no exchange), then anti-join the
@@ -729,25 +752,33 @@ def minhash_neardup_stream(
                 .distinct()
             )
             new_reps = reps.join(F.broadcast(known_fps), "fp", "left_anti")
+        elif idx is not None:
+            new_reps = reps.join(idx.select("fp").distinct(), "fp", "left_anti")
         else:
             new_reps = reps
         new_reps = new_reps.localCheckpoint(eager=True)  # read idx BEFORE appending
         # pin=False: a micro-batch is a few just-checkpointed rows; the
         # batch-side width pin would cost an exchange + ~32 near-empty
-        # tasks per trigger
-        banded_new = textops.minhash_band_relation(new_reps, pin=False).join(
-            new_reps.select("doc_id", "fp"), "doc_id"
+        # tasks per trigger. Eager checkpoint: touched, the census union,
+        # the pair join's new side, and the index append all consume this
+        # relation — without the cut each would re-run the shingle-md5
+        # banding (no common-subplan elimination, CLAUDE.md).
+        banded_new = (
+            textops.minhash_band_relation(new_reps, pin=False)
+            .join(new_reps.select("doc_id", "fp"), "doc_id")
+            .localCheckpoint(eager=True)
         )
         # probe ONLY the buckets this batch touches: a pair needs a new
         # member, so untouched buckets can neither pair nor change
         # admission, and cumulative counts per touched key are unchanged.
         # Broadcasting the micro-batch-sized key set keeps the index probe
-        # shuffle-free — per-trigger work is O(index rows in touched
-        # buckets), independent of stream history length.
+        # shuffle-free.
         touched = banded_new.select("band_key").distinct()
         old_touched = (
             idx.select("doc_id", "band_key").join(
-                F.broadcast(touched), "band_key", "left_semi"
+                F.broadcast(touched) if probe else touched,
+                "band_key",
+                "left_semi",
             )
             if idx is not None
             else banded_new.select("doc_id", "band_key").limit(0)

@@ -1224,3 +1224,49 @@ def test_streaming_neardup_cap_prefix_greedy(spark, tmp_path, caplog):
     assert warns, "over-cap routing must not be silent"
     assert all("band_bucket_cap=3" in w for w in warns)
     assert any("4 touched bucket(s)" in w for w in warns)  # batch 2: all hot
+
+
+def test_streaming_neardup_shuffle_fallback_identical(spark, tmp_path, monkeypatch):
+    """The backlog guard: with _PROBE_MAX_REPS forced to 0 every trigger
+    takes the shuffle-join fallback instead of the broadcast probes — the
+    two strategies must be output-identical (pairs AND index), since the
+    guard flips on batch size, which correctness must not depend on."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.streaming import pipeline as sp
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    other = "totally different text about mountains and rivers flowing by"
+    chunk1 = [(0, body), (1, body), (2, other)]
+    chunk2 = [(3, body), (4, body.replace("dog", "cat")), (5, other + " streams")]
+    schema = "doc_id long, text string"
+
+    outs = {}
+    for tag, max_reps in (("probe", 10**9), ("shuffle", 0)):
+        monkeypatch.setattr(sp, "_PROBE_MAX_REPS", max_reps)
+        in_dir = str(tmp_path / f"in_{tag}")
+        spark.createDataFrame(chunk1, schema).repartition(1).write.parquet(in_dir)
+        spark.createDataFrame(chunk2, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(in_dir)
+        q = sp.minhash_neardup_stream(
+            stream,
+            index_path=str(tmp_path / f"idx_{tag}"),
+            pairs_path=str(tmp_path / f"pairs_{tag}"),
+            checkpoint_path=str(tmp_path / f"ckpt_{tag}"),
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(f"{tag} leg did not drain")
+        outs[tag] = (
+            {(r.a_id, r.b_id)
+             for r in spark.read.parquet(str(tmp_path / f"pairs_{tag}")).collect()},
+            {(r.doc_id, r.fp, r.band_key)
+             for r in spark.read.parquet(str(tmp_path / f"idx_{tag}")).collect()},
+        )
+
+    assert outs["probe"][0] == outs["shuffle"][0] != set()
+    assert outs["probe"][1] == outs["shuffle"][1]
