@@ -36,8 +36,14 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    from swissgeol_ocr_spark.plans.queries import GOLDEN_SF01_QUERIES
+
     rc = 0
     for name in NAMES:
+        if name in GOLDEN_SF01_QUERIES and "/sf0.01" not in SF.rstrip("/"):
+            print(f"{name}: SKIP (oracle golden pinned to sf0.01; "
+                  "second-SF coverage = tests/test_twin.py)")
+            continue
         fn, sql = QUERIES[name]
         sdf = fn(spark, SF).toPandas()
         ddf = con.sql(sql).df()

@@ -5034,6 +5034,17 @@ def _golden_path(name: str) -> str:
     )
 
 
+# Queries whose DuckDB oracle reads a golden parquet precomputed at
+# sf=0.01 (the driver's gate SF). Their oracles are only meaningful
+# there — a sweep at another SF must annotate, not fail, them. (Their
+# second-SF coverage is tests/test_twin.py: twin==kernel per document at
+# sf0.001, plus the golden-drift test in tests/test_pipeline.py.)
+GOLDEN_SF01_QUERIES = frozenset({
+    "extract_flagship", "extract_sequence", "extract_words",
+    "extract_aggressive", "extract_stream", "dedup_clusters",
+})
+
+
 # Expected extraction output, regenerated inside DuckDB (driver runs the
 # oracle at sf=0.01, where the layout-1 golden below was precomputed):
 #   layout 0 — born-digital passthrough: lines in index order
