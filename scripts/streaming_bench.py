@@ -12,7 +12,10 @@ host drift, so only merged best-of counts):
        staged files → K real micro-batches, exactly-once parquet sink,
        checkpoint) — `run_stream_to_parquet`'s plan with an explicit
        per-file trigger so micro-batch orchestration cost is real, not
-       one mega-batch.
+       one mega-batch, and
+   (c) the full-pipeline stream (`--mode batch` face:
+       `run_stream_full_pipeline`, foreachBatch running extract_pipeline
+       per micro-batch — the mega-safe at-least-once deployment).
    Plus the resume probe: re-running the drained stream against its
    checkpoint must process 0 new rows in ~0 time (the streaming face of
    the skip-existing anti-join, reference ocr/target.py:29-33).
@@ -138,6 +141,26 @@ def run_stream(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]
     return dt, n_triggers
 
 
+def run_stream_full(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
+    """The --mode batch face: foreachBatch runs the FULL pipeline
+    (passthrough + mega split) per micro-batch — prices what a mega-safe
+    streaming deployment pays vs the stateless sink."""
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_full_pipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.perf_counter()
+    q = run_stream_full_pipeline(
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS
+    )
+    _drain_or_die(q, 1200)
+    dt = time.perf_counter() - t0
+    n_triggers = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    return dt, n_triggers
+
+
 def resume_probe(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
     """Re-run the drained stream: checkpoint says all files are done, so
     0 new rows — timed to show resume costs scheduler seconds, not work."""
@@ -204,7 +227,7 @@ def main() -> None:
             flush=True,
         )
 
-        kern_t, prod_t, stream_t, trig_counts = [], [], [], []
+        kern_t, prod_t, stream_t, full_t, trig_counts = [], [], [], [], []
         for p in range(PASSES):  # interleaved best-of
             kern_t.append(
                 run_batch(spark, in_dir, f"{work}/out_b", passthrough=False)
@@ -217,10 +240,15 @@ def main() -> None:
             prod_t.append(
                 run_batch(spark, in_dir, f"{work}/out_b", passthrough=True)
             )
+            f_dt, f_trig = run_stream_full(
+                spark, in_dir, f"{work}/out_f", f"{work}/ckpt_f"
+            )
+            full_t.append(f_dt)
             print(
                 f"pass {p}: kernel-batch {kern_t[-1]:.2f}s stream"
                 f" {s_dt:.2f}s ({s_trig} triggers) prod-batch"
-                f" {prod_t[-1]:.2f}s",
+                f" {prod_t[-1]:.2f}s full-pipeline-stream {f_dt:.2f}s"
+                f" ({f_trig} triggers)",
                 flush=True,
             )
         res_t, res_rows = resume_probe(
@@ -235,7 +263,7 @@ def main() -> None:
             print(f"sess pass {p}: batch {sb[-1]:.2f}s stream {ss[-1]:.2f}s",
                   flush=True)
 
-        b, s, prod = min(kern_t), min(stream_t), min(prod_t)
+        b, s, prod, fp = min(kern_t), min(stream_t), min(prod_t), min(full_t)
         n_trig = max(trig_counts)
         sbb, ssb = min(sb), min(ss)
         lines = [
@@ -260,6 +288,9 @@ def main() -> None:
             f" sink) | {s:.2f}s | {n_docs / s:,.0f} |",
             f"| batch, production (passthrough on: no-media docs take the"
             f" JVM branch) | {prod:.2f}s | {n_docs / prod:,.0f} |",
+            f"| stream, full pipeline (`--mode batch`: foreachBatch runs"
+            f" extract_pipeline per micro-batch — mega-safe,"
+            f" at-least-once) | {fp:.2f}s | {n_docs / fp:,.0f} |",
             "",
             f"Streaming overhead: ×{s / b:.2f} wall vs the KERNEL-ONLY"
             f" batch ({(s - b):.2f}s across {n_trig} triggers, measured"
@@ -270,10 +301,12 @@ def main() -> None:
             " kernel. The production row is the default-config batch"
             " number (passthrough on); its delta vs kernel-only is"
             " mix- and host-dependent and can sit inside same-day noise."
-            " Streaming deployments wanting the full pipeline semantics"
-            " (passthrough + mega page split) use submit_extract_stream"
-            " --mode batch, which runs extract_pipeline per micro-batch"
-            " via foreachBatch (at-least-once).",
+            f" The full-pipeline stream row (×{fp / prod:.2f} vs the"
+            " production batch it embeds) prices the mega-safe deployment:"
+            " per-trigger it re-plans the whole pipeline (passthrough"
+            " split + both mega branches) rather than one stateless"
+            " mapInArrow — the premium a feed that can contain mega"
+            " documents pays (submit_extract_stream --mode batch).",
             "",
             f"Resume probe: re-running the drained stream against its"
             f" checkpoint processed **{res_rows} new rows in {res_t:.2f}s**"
