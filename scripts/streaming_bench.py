@@ -150,8 +150,12 @@ def run_stream_full(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float,
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.perf_counter()
+    # repartition=False: same input contract as the batch legs (staged
+    # K×32 well-spread files; the file source hands each trigger 32-wide
+    # splits already) — the deployment setting for a well-staged feed
     q = run_stream_full_pipeline(
-        spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS
+        spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS,
+        repartition=False,
     )
     _drain_or_die(q, 1200)
     dt = time.perf_counter() - t0

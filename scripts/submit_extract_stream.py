@@ -53,6 +53,14 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", choices=("sink", "batch"), default="sink")
+    ap.add_argument(
+        "--no-repartition",
+        action="store_true",
+        help="--mode batch only: skip the per-trigger hash(doc_id) "
+        "exchange when the ingest writes well-spread files (>= cluster "
+        "cores of input splits per trigger) — same steady-state lever as "
+        "the batch job; output is bit-identical either way",
+    )
     ap.add_argument("--drain", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--aggressive", action="store_true")
@@ -85,7 +93,13 @@ def main() -> None:
             .option("checkpointLocation", args.checkpoint)
         )
     else:
-        writer = full_pipeline_writer(stream, args.output, args.checkpoint, config)
+        writer = full_pipeline_writer(
+            stream,
+            args.output,
+            args.checkpoint,
+            config,
+            repartition=not args.no_repartition,
+        )
     if args.drain:
         q = writer.trigger(availableNow=True).start()
         ok = q.awaitTermination(args.timeout_s) if args.timeout_s else (

@@ -860,6 +860,7 @@ def full_pipeline_writer(
     out_path: str,
     checkpoint_path: str,
     config: ExtractConfig | None = None,
+    repartition: bool = True,
 ):
     """foreachBatch writer running the FULL batch pipeline (JVM passthrough
     for no-media docs + page-split/reassemble for mega docs) per
@@ -876,12 +877,17 @@ def full_pipeline_writer(
     from swissgeol_ocr_spark.plans.pipeline import extract_pipeline
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # repartition=True (default): a micro-batch arrives with
-        # file-source partitioning; the pipeline's hash(doc_id) exchange
-        # feeds both branches once and the mega split needs it anyway
-        extract_pipeline(batch_df, config=config).write.mode("append").parquet(
-            out_path
-        )
+        # repartition: a micro-batch arrives with file-source
+        # partitioning. True (default) adds the pipeline's hash(doc_id)
+        # exchange — right for lumpy feeds (few/skewed files per
+        # trigger). False skips a full per-trigger shuffle when the
+        # ingest writes well-spread files (≥ cores input splits per
+        # trigger) — the same steady-state lever as the batch job; the
+        # mega subtree keeps its own exchange either way, and output is
+        # pinned bit-identical across both settings.
+        extract_pipeline(
+            batch_df, config=config, repartition=repartition
+        ).write.mode("append").parquet(out_path)
 
     return stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
@@ -895,12 +901,15 @@ def run_stream_full_pipeline(
     checkpoint_path: str,
     config: ExtractConfig | None = None,
     max_files_per_trigger: int | None = None,
+    repartition: bool = True,
 ):
     """Bounded (availableNow) drain of ``full_pipeline_writer`` — the
     mega-doc-safe twin of ``run_stream_to_parquet``."""
     stream = read_spans_stream(spark, in_path, max_files_per_trigger)
     return (
-        full_pipeline_writer(stream, out_path, checkpoint_path, config)
+        full_pipeline_writer(
+            stream, out_path, checkpoint_path, config, repartition
+        )
         .trigger(availableNow=True)
         .start()
     )

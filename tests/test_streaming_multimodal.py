@@ -1088,8 +1088,12 @@ def test_stream_full_pipeline_matches_batch_with_mega(spark, sf_dir, tmp_path):
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     spans.repartition(2).write.parquet(in_dir)
 
+    # repartition=False on the stream leg vs the batch comparator's
+    # default True: the well-spread-feed lever must be bit-identical to
+    # the exchanged plan (the crash-replay test covers the True path)
     q = run_stream_full_pipeline(
-        spark, in_dir, out_dir, ckpt, cfg, max_files_per_trigger=1
+        spark, in_dir, out_dir, ckpt, cfg, max_files_per_trigger=1,
+        repartition=False,
     )
     if not q.awaitTermination(180):
         q.stop()
