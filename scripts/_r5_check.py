@@ -40,7 +40,8 @@ def main():
 
     rc = 0
     for name in NAMES:
-        if name in GOLDEN_SF01_QUERIES and "/sf0.01" not in SF.rstrip("/"):
+        if (name in GOLDEN_SF01_QUERIES
+                and os.path.basename(SF.rstrip("/")) != "sf0.01"):
             print(f"{name}: SKIP (oracle golden pinned to sf0.01; "
                   "second-SF coverage = tests/test_twin.py)")
             continue

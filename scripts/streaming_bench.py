@@ -122,47 +122,52 @@ def run_batch(spark, in_dir: str, out_dir: str, passthrough: bool) -> float:
     return time.perf_counter() - t0
 
 
-def run_stream(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
-    """Returns (wall, n_triggers) — trigger count read from the drained
-    query's progress, never assumed from the staging layout."""
-    from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
-
+def _timed_stream_leg(start_query, out_dir: str, ckpt: str) -> tuple[float, int]:
+    """Fresh-sink/checkpoint setup, timed drain, trigger count read from
+    the drained query's progress (never assumed from the staging layout).
+    ``start_query`` starts and returns the availableNow query."""
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.perf_counter()
-    q = run_stream_to_parquet(
-        spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS
-    )
+    q = start_query()
     _drain_or_die(q, 1200)
     dt = time.perf_counter() - t0
     n_triggers = len(
         [p for p in q.recentProgress if p["numInputRows"] > 0]
     )
     return dt, n_triggers
+
+
+def run_stream(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
+    from swissgeol_ocr_spark.streaming.pipeline import run_stream_to_parquet
+
+    return _timed_stream_leg(
+        lambda: run_stream_to_parquet(
+            spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS
+        ),
+        out_dir,
+        ckpt,
+    )
 
 
 def run_stream_full(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
     """The --mode batch face: foreachBatch runs the FULL pipeline
     (passthrough + mega split) per micro-batch — prices what a mega-safe
-    streaming deployment pays vs the stateless sink."""
+    streaming deployment pays vs the stateless sink.
+
+    repartition=False: same input contract as the batch legs (staged
+    K×32 well-spread files; the file source hands each trigger 32-wide
+    splits already) — the deployment setting for a well-staged feed."""
     from swissgeol_ocr_spark.streaming.pipeline import run_stream_full_pipeline
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    t0 = time.perf_counter()
-    # repartition=False: same input contract as the batch legs (staged
-    # K×32 well-spread files; the file source hands each trigger 32-wide
-    # splits already) — the deployment setting for a well-staged feed
-    q = run_stream_full_pipeline(
-        spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS,
-        repartition=False,
+    return _timed_stream_leg(
+        lambda: run_stream_full_pipeline(
+            spark, in_dir, out_dir, ckpt, max_files_per_trigger=SLICE_PARTS,
+            repartition=False,
+        ),
+        out_dir,
+        ckpt,
     )
-    _drain_or_die(q, 1200)
-    dt = time.perf_counter() - t0
-    n_triggers = len(
-        [p for p in q.recentProgress if p["numInputRows"] > 0]
-    )
-    return dt, n_triggers
 
 
 def resume_probe(spark, in_dir: str, out_dir: str, ckpt: str) -> tuple[float, int]:
@@ -292,9 +297,9 @@ def main() -> None:
             f" sink) | {s:.2f}s | {n_docs / s:,.0f} |",
             f"| batch, production (passthrough on: no-media docs take the"
             f" JVM branch) | {prod:.2f}s | {n_docs / prod:,.0f} |",
-            f"| stream, full pipeline (`--mode batch`: foreachBatch runs"
-            f" extract_pipeline per micro-batch — mega-safe,"
-            f" at-least-once) | {fp:.2f}s | {n_docs / fp:,.0f} |",
+            f"| stream, full pipeline (`--mode batch --no-repartition`:"
+            f" foreachBatch runs extract_pipeline per micro-batch —"
+            f" mega-safe, at-least-once) | {fp:.2f}s | {n_docs / fp:,.0f} |",
             "",
             f"Streaming overhead: ×{s / b:.2f} wall vs the KERNEL-ONLY"
             f" batch ({(s - b):.2f}s across {n_trig} triggers, measured"
@@ -310,7 +315,11 @@ def main() -> None:
             " per-trigger it re-plans the whole pipeline (passthrough"
             " split + both mega branches) rather than one stateless"
             " mapInArrow — the premium a feed that can contain mega"
-            " documents pays (submit_extract_stream --mode batch).",
+            " documents pays. Measured with --no-repartition (the staged"
+            " feed is well-spread, matching the batch legs' input"
+            " contract); the default --mode batch adds a per-trigger"
+            " hash(doc_id) exchange for lumpy feeds and measured ×2.25 on"
+            " the same staging.",
             "",
             f"Resume probe: re-running the drained stream against its"
             f" checkpoint processed **{res_rows} new rows in {res_t:.2f}s**"

@@ -67,6 +67,9 @@ def main() -> None:
     ap.add_argument("--confidence-threshold", type=float, default=0.7)
     ap.add_argument("--timeout-s", type=int, default=None)
     args = ap.parse_args()
+    if args.no_repartition and args.mode != "batch":
+        ap.error("--no-repartition only applies to --mode batch "
+                 "(the sink mode is stateless and never repartitions)")
 
     from swissgeol_ocr_spark.plans.config import ExtractConfig
     from swissgeol_ocr_spark.plans.pipeline import configure_spark

@@ -1062,7 +1062,10 @@ def test_timeout_quarantine_leaves_tombstone():
     assert out == [] and not state.exists
 
 
-def test_stream_full_pipeline_matches_batch_with_mega(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("repart", [True, False])
+def test_stream_full_pipeline_matches_batch_with_mega(
+    spark, sf_dir, tmp_path, repart
+):
     """The --mode batch deployment face (submit_extract_stream): foreachBatch
     runs the FULL batch pipeline per micro-batch, so above-cutoff documents
     take the page-split/reassemble subtree even when they arrive on a
@@ -1072,7 +1075,11 @@ def test_stream_full_pipeline_matches_batch_with_mega(spark, sf_dir, tmp_path):
     count so BOTH the mega and the small branch carry documents; pin the
     drained sink against the batch pipeline under the same config, and pin
     the clean-restart no-replay contract (at-least-once only loses to a
-    crash BETWEEN append and checkpoint commit, never to a clean rerun)."""
+    crash BETWEEN append and checkpoint commit, never to a clean rerun).
+    Parametrized over the repartition lever: both the default per-trigger
+    hash(doc_id) exchange and the well-spread-feed skip must be
+    bit-identical to the batch comparator (which always uses the
+    default)."""
     from swissgeol_ocr_spark.plans.config import ExtractConfig
     from swissgeol_ocr_spark.streaming.pipeline import run_stream_full_pipeline
 
@@ -1088,12 +1095,9 @@ def test_stream_full_pipeline_matches_batch_with_mega(spark, sf_dir, tmp_path):
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     spans.repartition(2).write.parquet(in_dir)
 
-    # repartition=False on the stream leg vs the batch comparator's
-    # default True: the well-spread-feed lever must be bit-identical to
-    # the exchanged plan (the crash-replay test covers the True path)
     q = run_stream_full_pipeline(
         spark, in_dir, out_dir, ckpt, cfg, max_files_per_trigger=1,
-        repartition=False,
+        repartition=repart,
     )
     if not q.awaitTermination(180):
         q.stop()
@@ -1111,7 +1115,8 @@ def test_stream_full_pipeline_matches_batch_with_mega(spark, sf_dir, tmp_path):
     assert stream_out == batch_out
 
     q2 = run_stream_full_pipeline(
-        spark, in_dir, out_dir, ckpt, cfg, max_files_per_trigger=1
+        spark, in_dir, out_dir, ckpt, cfg, max_files_per_trigger=1,
+        repartition=repart,
     )
     if not q2.awaitTermination(60):
         q2.stop()
