@@ -188,15 +188,24 @@ def _extract_page(
         removed_local = find_old_ocr_spans(pk, pr)
         mask = PageMask(page_w, page_h)  # zeros — applyocr.py:24-25
 
-    removed_set = set(removed_local)
-    base = [int(i) for j, i in enumerate(idx) if j not in removed_set]
-
-    # candidate detections: stripped text-bearing spans with actual text
-    cand = [
-        int(idx[j])
-        for j in removed_local
-        if kind_codes[idx[j]] in (KIND_TEXT, KIND_OCR) and texts[idx[j]] != ""
-    ]
+    # vectorized complement + candidate selection (the scalar per-span
+    # listcomps profiled at ~9% of the kernel on word-granularity input)
+    keep_mask = np.ones(idx.size, dtype=bool)
+    if removed_local:
+        removed_arr = np.asarray(removed_local, dtype=np.int64)
+        keep_mask[removed_arr] = False
+        base = idx[keep_mask].tolist()
+        # candidate detections: stripped text-bearing spans with actual text
+        ridx = idx[removed_arr]
+        rk = kind_codes[ridx]
+        cand = [
+            int(i)
+            for i in ridx[(rk == KIND_TEXT) | (rk == KIND_OCR)].tolist()
+            if texts[i] != ""
+        ]
+    else:
+        base = idx.tolist()
+        cand = []
 
     emitted: list[OutSpan] = [(kinds[i], texts[i], media_refs[i], -1) for i in base]
 

@@ -36,6 +36,13 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # native twin, built on first import; None → numpy path
+    from swissgeol_ocr_spark.operators._native import (
+        native_sort_lines as _native_sort_lines,
+    )
+except Exception:  # pragma: no cover — loader itself already degrades
+    _native_sort_lines = None
+
 __all__ = ["sort_lines_indices", "needs_to_come_before", "sort_key"]
 
 _INF = np.inf
@@ -107,7 +114,7 @@ class _Page:
         fm = self.fm
         fm.fill(_INF)
         np.copyto(fm, vals, where=mask)
-        j = int(np.argmin(fm))
+        j = int(fm.argmin())
         return j if fm[j] != _INF else -1
 
     def needs_to_come_before(self, j: int) -> np.ndarray:
@@ -320,8 +327,23 @@ def sort_lines_indices(rects: np.ndarray) -> list[list[int]]:
     Faithful to ``sort_lines`` (readingorder.py:178-223) including the
     push-back block close at :216-218 that guarantees termination despite
     precedence cycles.
+
+    Dispatches to the native C twin (operators/_readingorder.c via
+    operators/_native.py) when it built successfully: the greedy loop is
+    O(n²) TINY vector predicates per page, and at 8-40 lines/page numpy's
+    per-ufunc dispatch cost — not FLOPs — dominated the whole extraction
+    kernel (profiled ~70% of ms/doc; native cut words-path extraction
+    ~2.5×). The C file transcribes the numpy expressions shape-for-shape
+    and is built with FP contraction off, so the outputs are
+    bit-identical — pinned by test_native_matches_numpy_random plus the
+    golden/twin suites. Any build/load failure falls back to the numpy
+    path below; SPARK_GRAFT_NO_NATIVE=1 forces the fallback.
     """
     r = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    if _native_sort_lines is not None:
+        res = _native_sort_lines(r)
+        if res is not None:
+            return res
     p = _Page(r)
     n = p.n
     if n == 0:
@@ -380,7 +402,7 @@ def sort_lines_indices(rects: np.ndarray) -> list[list[int]]:
             if n_remaining:
                 ntb = p.needs_to_come_before(current)
                 ntb &= remaining
-                if bool(np.any(ntb)):
+                if ntb.any():
                     remaining[current] = True
                     n_remaining += 1
                     break

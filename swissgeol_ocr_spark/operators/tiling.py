@@ -80,4 +80,4 @@ def _not_covered_in(rect: np.ndarray, others: np.ndarray) -> bool:
     h = iy1 - iy0
     area = np.where((w > 0) & (h > 0), w * h, 0.0)
     own = max((rect[2] - rect[0]) * (rect[3] - rect[1]), 0.0)
-    return not bool(np.any(area > 0.6 * own))
+    return not bool((area > 0.6 * own).any())

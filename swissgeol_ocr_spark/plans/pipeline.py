@@ -62,8 +62,28 @@ _OUT_ARROW = pa.schema(
 
 
 def configure_spark(builder_or_spark):
-    """Apply the scale-relevant session conf (AQE, shuffle sizing, Arrow)."""
+    """Apply the scale-relevant session conf (AQE, shuffle sizing, Arrow).
+
+    Scale-dependent knobs are env-parameterised with local defaults
+    (OPTIMIZATION_r06.md 'configuration' section justifies the production
+    values); never touches ``spark.sql.shuffle.partitions`` — the bench/
+    driver own that."""
+    import os as _os
+
     conf = {
+        # joins (guide §3.1): allow shuffled-hash where it fits instead of
+        # always sort-merge (no sort, same results), and let AQE demote a
+        # planned SMJ to SHJ when the built side's post-shuffle partitions
+        # are small. Broadcast threshold 64m: post-filter size estimates
+        # without CBO stats are conservative (file size × nothing), and a
+        # 64 MB broadcast relation is comfortably inside any production
+        # executor heap — at true 100 TB fact-table scale the estimate is
+        # far above ANY threshold, so this only affects mid-size dims.
+        "spark.sql.autoBroadcastJoinThreshold": _os.environ.get(
+            "SPARK_GRAFT_AUTOBROADCAST", "64m"
+        ),
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -121,7 +141,7 @@ def _extract_batches(
     for batch in batches:
         if batch.num_rows == 0:
             continue
-        doc_ids = batch.column("doc_id")
+        doc_ids = batch.column("doc_id").to_pylist()
         spans = batch.column("spans")
         # raw list offsets index into .values (the unsliced child), keeping
         # the pair consistent even when Arrow hands us a sliced array;
@@ -160,11 +180,25 @@ def _extract_batches(
         if orient_all.null_count:
             orient_all = pc.fill_null(orient_all, 0.0)
 
+        # batch-level python-list views, converted lazily ON FIRST KERNEL
+        # DOC: per-doc Arrow slice→pylist calls profiled at ~7% of the
+        # kernel (call overhead, not element conversion — the same
+        # elements convert either way). Passthrough-only batches never
+        # convert at all (they stay on pc.take), preserving the fast path.
+        _lists: list | None = None
+
         def _pylists(lo: int, hi: int):
+            nonlocal _lists
+            if _lists is None:
+                _lists = (
+                    kind_field.to_pylist(),
+                    text_field.to_pylist(),
+                    media_field.to_pylist(),
+                )
             return (
-                kind_field[lo:hi].to_pylist(),
-                text_field[lo:hi].to_pylist(),
-                media_field[lo:hi].to_pylist(),
+                _lists[0][lo:hi],
+                _lists[1][lo:hi],
+                _lists[2][lo:hi],
             )
 
         # kernel-docs accumulator (flat children + list offsets, no per-span
@@ -189,7 +223,7 @@ def _extract_batches(
             if not aggressive and not media_mask[lo:hi].any():
                 # fast path: identical ordering to extract_document's
                 # lexsort (stable → position breaks (page, offset) ties)
-                pt_ids.append(doc_ids[row].as_py())
+                pt_ids.append(doc_ids[row])
                 pt_perms.append(lo + np.lexsort((off_all[lo:hi], page_all[lo:hi])))
                 pt_counts.append(hi - lo)
                 pt_pages.append(int(np.unique(page_all[lo:hi]).size) if hi > lo else 0)
@@ -232,7 +266,7 @@ def _extract_batches(
                 except Exception:
                     result = []
                     statuses.append(f"error:{type(exc).__name__}")
-            out_ids.append(doc_ids[row].as_py())
+            out_ids.append(doc_ids[row])
             for (k, t, m, o) in result:
                 flat_kind.append(k)
                 flat_text.append(t)
@@ -313,7 +347,18 @@ def jvm_passthrough(df: DataFrame) -> DataFrame:
     Must stay bit-identical to ``np.lexsort((offsets, page_nos))`` + dense
     re-rank: sort key = (page_no, offset, original array position) — the
     position term reproduces lexsort's stability for duplicate
-    (page, offset) pairs. No Arrow round-trip, no Python, no shuffle."""
+    (page, offset) pairs. No Arrow round-trip, no Python, no shuffle.
+
+    Round-6 shape change (values identical, plan cheaper): the metric
+    columns are derived from the UNSORTED spans array — a permutation
+    preserves size() and the distinct page set — so only ``spans_out``
+    references the keyed struct sort. A metrics-only consumer (the
+    flagship per-doc metrics face, the bench's sum(n_spans_out) forcing)
+    then prunes the sort away entirely and the passthrough branch reduces
+    to three cheap array folds; the full-sequence consumers
+    (extract_sequence / extract_stream) keep the sort, evaluated once in
+    the same projection (guide §1.2: don't compute what the consumer
+    throws away)."""
     keyed = F.transform(
         "spans",
         lambda s, i: F.struct(
@@ -330,9 +375,18 @@ def jvm_passthrough(df: DataFrame) -> DataFrame:
         ),
     )
     # materialize the sorted array once (struct sort is lexicographic on
-    # (p, o, i); i is unique so later fields never compare) and derive every
-    # output column from it — the original spans column is dropped here
-    ordered = df.select("doc_id", F.sort_array(keyed).alias("_ord"))
+    # (p, o, i); i is unique so later fields never compare); metrics come
+    # from the unsorted spans (same size / same distinct page set)
+    ordered = df.select(
+        "doc_id",
+        F.sort_array(keyed).alias("_ord"),
+        F.size("spans").cast("int").alias("_n"),
+        F.size(
+            F.array_distinct(
+                F.transform("spans", lambda s: F.coalesce(s["page_no"], F.lit(0)))
+            )
+        ).cast("int").alias("_np"),
+    )
     return ordered.select(
         "doc_id",
         F.transform(
@@ -344,11 +398,9 @@ def jvm_passthrough(df: DataFrame) -> DataFrame:
                 i.cast("int").alias("offset"),
             ),
         ).alias("spans_out"),
-        F.size("_ord").cast("int").alias("n_spans_in"),
-        F.size("_ord").cast("int").alias("n_spans_out"),
-        F.size(
-            F.array_distinct(F.transform("_ord", lambda s: s["p"]))
-        ).cast("int").alias("n_pages"),
+        F.col("_n").alias("n_spans_in"),
+        F.col("_n").alias("n_spans_out"),
+        F.col("_np").alias("n_pages"),
         F.lit("ok").alias("status"),
         F.spark_partition_id().alias("partition_id"),
     )

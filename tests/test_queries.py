@@ -55,6 +55,35 @@ ORACLE_QUERIES = [name for name, (_, sql) in QUERIES.items() if sql is not None]
 ROWS_ONLY = [name for name, (_, sql) in QUERIES.items() if sql is None]
 
 
+def _static_reuse_plan(spark, build):
+    """Executed-plan string under the deterministic static-ReuseExchange
+    regime (AQE off, both broadcast thresholds -1) — the same conf guard
+    as test_semantic_dedup_invariants_and_reuse. Runtime AQE exchange
+    reuse is same-or-better but NOT a stable pin (CLAUDE.md: 2
+    ReusedExchange standalone, 0 mid-suite for the identical query), so
+    every plan-reuse assertion must run under this guard."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(
+                k, "false" if k == "spark.sql.adaptive.enabled" else "-1"
+            )
+        df = build()
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, name):
     fn, sql = QUERIES[name]
@@ -678,7 +707,7 @@ def test_tfidf_topk_ranks_rare_terms(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, rows)
     res = q_tfidf_topk(spark, sf)
     out = res.collect()
-    plan = res._jdf.queryExecution().executedPlan().toString()
+    plan = _static_reuse_plan(spark, lambda: q_tfidf_topk(spark, sf))
     assert "ReusedExchange" in plan  # the count-pruning trap stays fixed
     by_doc = {}
     for r in out:
@@ -1040,7 +1069,7 @@ def test_lm_score_unigram_replay(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, rows)
     res = q_lm_score(spark, sf)
     out = {r.doc_id: r for r in res.collect()}
-    plan = res._jdf.queryExecution().executedPlan().toString()
+    plan = _static_reuse_plan(spark, lambda: q_lm_score(spark, sf))
     assert "ReusedExchange" in plan  # tf computed once for both consumers
 
     cf = Counter(w for _, t, _l, _s in rows for w in t.split(" "))
@@ -1719,3 +1748,37 @@ def test_winnow_pairs_guarantee_and_hot_cap(spark, tmp_path):
     assert len(cold_pairs) == n_cold * (n_cold - 1) // 2  # (3) sub-cap flows
     for p in cold_pairs:
         assert pairs[p].overlap_ppm == 1_000_000
+
+
+def test_registry_prefix_covers_flagship():
+    """Registry-ordering tripwire (round-5 verdict #1/#7): the driver's
+    external correctness gate verifies the FIRST 50 registry entries in
+    dict order, so the highest-information faces must sit in that prefix.
+    Round 5's mid-dict insertions silently pushed the extraction
+    composites past position 50; this pin makes any such reshuffle a
+    loud test failure instead of a silent evidence gap."""
+    from swissgeol_ocr_spark.plans.queries import GOLDEN_SF01_QUERIES, QUERIES
+
+    prefix = set(list(QUERIES)[:50])
+    # the north-rule span-equality oracles + every SF-pinned golden face
+    assert GOLDEN_SF01_QUERIES <= prefix, GOLDEN_SF01_QUERIES - prefix
+    # every headline bench query is externally verified
+    headline = {
+        "extract_flagship", "extract_words", "c5_confidence_filter",
+        "agg_block_stats", "join_broadcast_dim", "dedup_exact",
+        "dedup_minhash_lsh", "cosine_topk", "quality_score", "token_count",
+        "corpus_curation", "stratified_sample", "star_join_q5", "sessionize",
+    }
+    assert headline <= prefix, headline - prefix
+    # the round-5 text-analysis/dedup-spine faces the verdict called out
+    verdict_faces = {
+        "extract_sequence", "extract_aggressive", "dedup_clusters",
+        "training_mix", "bm25_rank", "tfidf_topk", "lm_score",
+        "dedup_lines", "dedup_substrings", "winnow_fingerprint",
+        "winnow_pairs", "temperature_mix", "pack_sequences",
+        "decontaminate", "boilerplate_strip", "pii_scrub", "topk_ngrams",
+        "repetition_ratio", "source_domain_filter", "corpus_stats",
+    }
+    assert verdict_faces <= prefix, verdict_faces - prefix
+    # manifest invariant: 75 registered, 50 externally verified
+    assert len(QUERIES) == 75

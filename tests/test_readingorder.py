@@ -372,3 +372,44 @@ def test_needs_to_come_before_module_vs_kernel_method():
             spec = needs_to_come_before(r, xm, ym, j)
             fused = p.needs_to_come_before(j).copy()
             assert spec.tolist() == fused.tolist(), (j, r.tolist())
+
+
+def test_native_matches_numpy_random():
+    """The native C reading-order twin must be bit-identical to the numpy
+    implementation — block-for-block, index-for-index — on a broad random
+    page population (the golden/twin suites pin whichever path is active;
+    this pins the two paths against EACH OTHER)."""
+    import numpy as np
+
+    import swissgeol_ocr_spark.operators.readingorder as ro
+    from swissgeol_ocr_spark.operators._native import available, native_sort_lines
+
+    if not available():
+        import pytest
+
+        pytest.skip("native kernel unavailable (no compiler?)")
+    rng = np.random.default_rng(1234)
+    for _ in range(300):
+        n = int(rng.integers(0, 64))
+        x0 = rng.uniform(0, 560, n)
+        y0 = rng.uniform(0, 760, n)
+        w = rng.uniform(0.5, 320, n)
+        h = rng.uniform(4, 24, n)
+        r = np.stack([x0, y0, x0 + w, y0 + h], axis=1) if n else np.zeros((0, 4))
+        saved = ro._native_sort_lines
+        ro._native_sort_lines = None
+        try:
+            want = ro.sort_lines_indices(r)
+        finally:
+            ro._native_sort_lines = saved
+        got = native_sort_lines(r)
+        assert got == want
+    # duplicate/tied rects exercise the lowest-index tie-breaks
+    tied = np.array([[10.0, 10.0, 110.0, 22.0]] * 5 + [[10.0, 40.0, 110.0, 52.0]] * 3)
+    saved = ro._native_sort_lines
+    ro._native_sort_lines = None
+    try:
+        want = ro.sort_lines_indices(tied)
+    finally:
+        ro._native_sort_lines = saved
+    assert native_sort_lines(tied) == want

@@ -1279,3 +1279,88 @@ def test_streaming_neardup_shuffle_fallback_identical(spark, tmp_path, monkeypat
 
     assert outs["probe"][0] == outs["shuffle"][0] != set()
     assert outs["probe"][1] == outs["shuffle"][1]
+
+
+def test_streaming_neardup_index_prunes(spark, tmp_path):
+    """Round-5 verdict #2 'done' criterion: the per-trigger index read
+    must touch only the probed partitions. Both accumulated indexes are
+    written directory-partitioned by a hash prefix of their probe key;
+    a prefix-filtered read must (a) prune to a strict subset of the
+    index files once the index spans several prefixes, and (b) carry
+    the prefix predicate as a PartitionFilter, not a post-scan filter —
+    while the drained pair set still equals the batch face."""
+    from pyspark.sql import functions as F
+
+    from swissgeol_ocr_spark.plans.queries import q_dedup_minhash_lsh
+    from swissgeol_ocr_spark.streaming.pipeline import (
+        _INDEX_PARTS,
+        _pruned_index_read,
+        minhash_neardup_stream,
+    )
+
+    # enough distinct texts that their band keys land in several prefixes
+    docs = [(i, f"unique body number {i} with shared tail words alpha "
+                f"beta gamma delta epsilon zeta") for i in range(24)]
+    docs.append((100, docs[0][1] + " extra"))  # one near-dup pair
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(docs[:12], schema).repartition(1).write.parquet(in_dir)
+    spark.createDataFrame(docs[12:], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    index_path = str(tmp_path / "bandindex")
+    q = minhash_neardup_stream(
+        stream,
+        index_path=index_path,
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("neardup stream did not drain")
+
+    # output still equals the batch face on the same corpus
+    sf = str(tmp_path / "batchsf")
+    spark.createDataFrame(docs, schema).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s1")).write.parquet(f"{sf}/documents.parquet")
+    got = {(r.a_id, r.b_id)
+           for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    want = {(r.a_id, r.b_id) for r in q_dedup_minhash_lsh(spark, sf).collect()}
+    assert got == want and (0, 100) in got
+
+    # the index landed partitioned across several bpfx directories
+    import os
+
+    full = spark.read.parquet(index_path)
+    pfxs = sorted(r[0] for r in full.select("bpfx").distinct().collect())
+    assert len(pfxs) > 1
+    part_dirs = [d for d in os.listdir(index_path) if d.startswith("bpfx=")]
+    assert len(part_dirs) == len(pfxs)
+
+    # a probe-shaped pruned read: the prefix predicate must land as a
+    # PartitionFilter on the FileScan (directory-level pruning — Spark
+    # then lists/reads only the matching bpfx= dirs), never a post-scan
+    # Filter. (inputFiles() reports the pre-pruning listing, so the plan
+    # node is the observable contract.)
+    probe_pfx = pfxs[:1]
+    pruned = _pruned_index_read(spark, index_path, "bpfx", probe_pfx)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bpfx" in plan.split("PartitionFilters", 1)[1][:250]
+    # pruned content == the full read filtered the slow way
+    slow = {tuple(r) for r in full.filter(F.col("bpfx").isin(probe_pfx))
+            .select("doc_id", "band_key").collect()}
+    fast = {tuple(r) for r in pruned.select("doc_id", "band_key").collect()}
+    assert fast == slow != set()
+
+    # the exact-dup fp index exists, is partitioned, and holds one row
+    # per distinct text
+    fp_idx = spark.read.parquet(index_path + "_fp")
+    assert fp_idx.select("fp").distinct().count() == 25
+    assert fp_idx.select("fpfx").distinct().count() >= 1
+    assert _INDEX_PARTS >= 2
