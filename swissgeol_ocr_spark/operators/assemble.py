@@ -25,15 +25,28 @@ import numpy as np
 
 def join_words(texts: list[str], rects: np.ndarray) -> str:
     """Join a line's words left-to-right; explicit space iff the next word
-    starts strictly right of this word's end (draw.py:34-39)."""
-    order = np.argsort(rects[:, 0], kind="stable")
+    starts strictly right of this word's end (draw.py:34-39).
+
+    Scalar-python hot path: the per-word numpy indexing + argsort on
+    ~8-element arrays cost more in dispatch than in work (profiled ~7% of
+    the word-granularity kernel). ``sorted`` is stable like
+    ``np.argsort(kind='stable')`` and python floats ARE float64, so the
+    comparisons are IEEE-identical; a NaN x0 (possible only on raw
+    unsalvaged input) falls back to the original numpy ordering, whose
+    NaN placement is the pinned behavior."""
+    rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    x0 = rects[:, 0].tolist()
+    x1 = rects[:, 2].tolist()
+    if any(v != v for v in x0):  # NaN → numpy's stable NaN-last ordering
+        order = np.argsort(rects[:, 0], kind="stable").tolist()
+    else:
+        order = sorted(range(len(x0)), key=x0.__getitem__)
     parts: list[str] = []
+    last = len(order) - 1
     for pos, i in enumerate(order):
         parts.append(texts[i])
-        if pos + 1 < len(order):
-            nxt = order[pos + 1]
-            if rects[nxt, 0] > rects[i, 2]:
-                parts.append(" ")
+        if pos < last and x0[order[pos + 1]] > x1[i]:
+            parts.append(" ")
     return "".join(parts)
 
 
@@ -53,23 +66,38 @@ def lines_from_words(
     if n == 0:
         return []
     rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
-    ym = (rects[:, 1] + rects[:, 3]) / 2.0
-    order = np.lexsort((rects[:, 0], rects[:, 1]))
+    # scalar-python greedy loop over list views: python floats are
+    # float64, so every band comparison is IEEE-identical to the former
+    # per-element numpy indexing, without its dispatch cost (profiled
+    # ~25% of the word-granularity kernel). np.lexsort keeps the scan
+    # order authoritative (incl. its NaN-last placement).
+    y0l = rects[:, 1].tolist()
+    y1l = rects[:, 3].tolist()
+    yml = ((rects[:, 1] + rects[:, 3]) / 2.0).tolist()
+    order = np.lexsort((rects[:, 0], rects[:, 1])).tolist()
     lines: list[list[int]] = []
-    bands: list[tuple[float, float]] = []  # evolving (y0, y1) per line
+    bands: list[list[float]] = []  # evolving [y0, y1] per line
     for i in order:
+        ymi = yml[i]
+        ry0 = y0l[i]
+        ry1 = y1l[i]
         placed = False
         for li in range(len(lines) - 1, -1, -1):
-            b0, b1 = bands[li]
+            b = bands[li]
+            b0 = b[0]
+            b1 = b[1]
             band_mid = (b0 + b1) / 2.0
-            if b0 < ym[i] < b1 and rects[i, 1] < band_mid < rects[i, 3]:
-                lines[li].append(int(i))
-                bands[li] = (min(b0, rects[i, 1]), max(b1, rects[i, 3]))
+            if b0 < ymi < b1 and ry0 < band_mid < ry1:
+                lines[li].append(i)
+                if ry0 < b0:
+                    b[0] = ry0
+                if ry1 > b1:
+                    b[1] = ry1
                 placed = True
                 break
         if not placed:
-            lines.append([int(i)])
-            bands.append((float(rects[i, 1]), float(rects[i, 3])))
+            lines.append([i])
+            bands.append([ry0, ry1])
 
     out = []
     for word_idx in lines:

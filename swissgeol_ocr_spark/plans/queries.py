@@ -57,7 +57,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame, *cols: str, min_bytes: int = 2 * 1024 * 1024) -> DataFrame:
+def _spread(df: DataFrame, *cols: str, min_bytes: int = 512 * 1024) -> DataFrame:
     """Guarantee a CPU-heavy per-row derivation runs at cluster width even
     when the scan cannot (guide §2.5 'input skew': a single-file,
     single-ROW-GROUP parquet table arrives as ONE scan task no matter how
@@ -73,11 +73,14 @@ def _spread(df: DataFrame, *cols: str, min_bytes: int = 2 * 1024 * 1024) -> Data
     downstream results are partitioning-independent (per-row projections,
     keyed aggregates over integers/min/max — never a float running sum).
 
-    The ``min_bytes`` floor keeps the exchange out of *small* jobs: below
-    it the whole sweep costs less than a shuffle round-trip (A/B at
-    sf0.1: spreading the 0.6 MB documents table cost +0.1s; at the 10×
-    replica it saved 1.1s), so tiny relations keep their fused
-    scan-projection plan bit-for-bit."""
+    The ``min_bytes`` floor keeps the exchange out of *small* jobs, where
+    the whole sweep costs less than a shuffle round-trip. NOTE the floor
+    compares the COMPRESSED relation estimate (plan stats = file size):
+    a highly-duplicated corpus can compress 10× (measured: 50k docs in
+    877 KB), so the floor is deliberately low — mis-spreading a small
+    table costs ~0.1s once, while missing the spread on a big one
+    serializes the whole sweep (measured +1.5s on the replica when a
+    2 MB floor skipped a 50k-doc table)."""
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
