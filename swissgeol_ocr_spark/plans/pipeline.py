@@ -89,11 +89,13 @@ def configure_spark(builder_or_spark):
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # fewer, larger Arrow batches: per-batch JVM↔Python round-trip cost
-        # dominated the kernel at high core counts (measured 13k→18.7k
-        # docs/s at 32 cores going 256→2048). 1024 docs/batch is safe for
-        # page-split documents (≤ a few hundred spans each); lower it for
-        # tables holding many near-cutoff (20k-span) documents.
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+        # dominated the kernel at high core counts. Re-swept in round 6
+        # after the native reading-order kernel cut per-doc cost 4-10×
+        # (the batch-overhead : kernel-work ratio moved): 512/1024/2048/
+        # 4096 → 64k/66k/76k/49k docs/s at 32 cores — 2048 is the knee.
+        # Pathological wide-doc batches are independently byte-bounded by
+        # Spark 4's arrow.maxBytesPerBatch (64 MB default).
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         "spark.sql.files.maxPartitionBytes": "268435456",
         # pinned DST-free tz: the streaming watermark path round-trips
         # TIMESTAMP_NTZ through TIMESTAMP (watermarks reject NTZ), which

@@ -1427,6 +1427,16 @@ def minhash_pair_relation(docs: DataFrame, cap: int | None = None) -> DataFrame:
     batch query and the incremental streaming leg."""
     cap = cap if cap is not None else _DEDUP_CFG.band_bucket_cap
     reps = textops.exact_collapse(docs.select("doc_id", "text"))
+    return minhash_pairs_from_reps(reps, cap)
+
+
+def minhash_pairs_from_reps(reps: DataFrame, cap: int | None = None) -> DataFrame:
+    """``minhash_pair_relation`` over an ALREADY-collapsed representative
+    set — split out so a composed consumer (corpus_curation) can share
+    one ``exact_collapse`` between the banding subtree and its own
+    exact-duplicate membership logic instead of re-running the md5
+    groupBy over the corpus."""
+    cap = cap if cap is not None else _DEDUP_CFG.band_bucket_cap
     banded = textops.cap_band_buckets(textops.minhash_band_relation(reps), cap)
     # Lineage cut before the self-join (the dedup_clusters / training_mix
     # precedent): the capped relation feeds BOTH join sides, Spark does no
@@ -1530,7 +1540,8 @@ SQL_MINHASH = sql_dedup_minhash(_DEDUP_CFG.band_bucket_cap)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (engine-portable nibble voting; one md5
     per token, materialized)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    # per-row md5-per-token sweep — spread a narrow scan first (_spread)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         textops.md5_digests(F.split("text", " ")).alias("dg"),
     )
@@ -3035,7 +3046,8 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/(w+1) of a document's grams. The sorted array is materialized in
     the aggregate BEFORE the transform lambda (higher-order-function
     lambdas re-evaluate inlined expressions per element)."""
-    docs = _t(spark, sf_dir, "documents")
+    # md5-per-gram sweep inside _winnow_relations — spread first (_spread)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     sized, positions = _winnow_relations(docs)
     per_doc = positions.groupBy("doc_id").agg(
         F.count("*").alias("n_selected"),
@@ -3270,13 +3282,19 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute in the SAME scan — composing the per-signal queries would
     re-read the corpus four times."""
     docs = _t(spark, sf_dir, "documents")
-    near = q_dedup_minhash_lsh(spark, sf_dir).select(F.col("b_id").alias("doc_id"))
-    fp_docs = docs.select(F.md5("text").alias("_fp"), "doc_id")
-    keepers = fp_docs.groupBy("_fp").agg(F.min("doc_id").alias("_keep_id"))
-    exact_nonreps = (
-        fp_docs.join(keepers, "_fp")
-        .filter(F.col("doc_id") > F.col("_keep_id"))
-        .select("doc_id")
+    # ONE exact_collapse feeds both the banded near-dup subtree and the
+    # exact-duplicate membership (round 6): the former keepers-join
+    # formulation re-ran the md5 groupBy over the corpus a second time.
+    # A non-keeper is exactly a doc whose id is NOT a representative id
+    # (keeper = min id of its fp group, ids unique), so the membership
+    # re-expansion is a slim doc_id anti-join against the shared
+    # (lineage-cut) representative set — same rows, one pass fewer.
+    reps = textops.exact_collapse(docs.select("doc_id", "text")).localCheckpoint(
+        eager=False
+    )
+    near = minhash_pairs_from_reps(reps).select(F.col("b_id").alias("doc_id"))
+    exact_nonreps = docs.select("doc_id").join(
+        reps.select("doc_id"), "doc_id", "left_anti"
     )
     dups = (
         near.unionByName(exact_nonreps)
@@ -3926,7 +3944,8 @@ def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd shuffle on the high-cardinality (lang, gram) key.
     The salt never leaves the plan, so the DuckDB twin is the plain
     single-window formulation — same rows, engine-checkable."""
-    docs = _t(spark, sf_dir, "documents")
+    # gram explode + integer partial aggs fuse into the scan — spread it
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     n = TOPK_NGRAM
     words = docs.select("lang", F.split("text", " ").alias("w"))
     grams = words.select(
@@ -4026,7 +4045,8 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles the probe side. Reassembly groups on doc_id — the uniform
     natural key. Total: two combinable-agg shuffles + one equi-join, all
     on hashed keys; only (doc_id, text) is ever scanned."""
-    docs = _t(spark, sf_dir, "documents")
+    # md5-per-line sweep fuses into the scan — spread it (_spread)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     n = DEDUP_LINE_WORDS
     sized = docs.select(
         "doc_id", F.split("text", " ").alias("w")
@@ -4141,7 +4161,8 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy reuses the window's doc_id partitioning, so merging costs ONE
     Exchange. Docs shorter than the window width have no grams and are
     restored by the left join with zero coverage."""
-    docs = _t(spark, sf_dir, "documents")
+    # md5-per-gram sweep fuses into the scan — spread it (_spread)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     n = SUBSTR_GRAM_WORDS
     sized = docs.select(
         "doc_id", F.split("text", " ").alias("w")
@@ -4286,7 +4307,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator scales embarrassingly with input splits and the only limit
     is scan bandwidth. This is the deliberate contrast case to the
     shuffle-bearing dedup family: .explain shows zero Exchange nodes."""
-    docs = _t(spark, sf_dir, "documents")
+    # map-only regex sweep — one row group would serialize it (_spread);
+    # at real input widths this stays the zero-Exchange scan below
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -4396,7 +4419,8 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions on doc_id — bounded by per-document vocabulary,
     never corpus-wide — and WindowGroupLimit prunes to K rows per doc
     BEFORE the exchange."""
-    docs = _t(spark, sf_dir, "documents")
+    # word explode + integer partial aggs fuse into the scan — spread it
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(
@@ -4503,7 +4527,8 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25_SCORE_EPS)) so ln()'s 1-ulp engine divergence can neither flip a
     rounding boundary nor change top-K membership; both faces are
     generated from the same constants."""
-    docs = _t(spark, sf_dir, "documents")
+    # conditional integer aggregates fuse into the scan — spread it
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     aggs = [F.count("*").alias("dl")]
     for t in BM25_TERMS:

@@ -142,17 +142,28 @@ def documents_to_spans(
         F.sequence(F.lit(0), F.col("n_lines") - 1),
         lambda i: F.md5(F.concat(F.col("doc_id"), F.lit(":"), i.cast("string"))),
     )
-    line_spans = F.transform(line_digests, lambda dg, i: _line_span(i, dg))
-    media_spans = F.transform(
-        F.sequence(F.lit(0), F.col("n_pages") - 1),
-        lambda p: _media_span(p),
-    )
+    # Offsets are FUSED into the struct builders (round 6): the old shape
+    # built placeholder-offset structs and then `_renumber`ed the
+    # concatenated array — a second full rebuild of every 11-field struct,
+    # which profiled as the dominant synthesis cost (the md5s are cheap by
+    # comparison). Each layout branch instead stamps the exact dense
+    # array-order offset at construction: bit-identical arrays, one build.
+    def line_spans_at(base):
+        return F.transform(
+            line_digests, lambda dg, i: _line_span(i, dg, base + i)
+        )
+
+    def media_spans_at(base):
+        return F.transform(
+            F.sequence(F.lit(0), F.col("n_pages") - 1),
+            lambda p: _media_span(p, base + p),
+        )
     overlay_span = F.array(
         F.struct(
             F.lit("ocr-text").alias("kind"),
             F.lit("hidden overlay").alias("text"),
             F.lit("").alias("media_ref"),
-            F.lit(0).alias("offset"),
+            F.col("n_lines").cast("int").alias("offset"),
             F.lit(0).alias("page_no"),
             F.lit(40.0).alias("x0"),
             F.lit(700.0).alias("y0"),
@@ -165,7 +176,7 @@ def documents_to_spans(
             F.lit("path").alias("kind"),
             F.lit("").alias("text"),
             F.lit("").alias("media_ref"),
-            F.lit(0).alias("offset"),
+            (F.col("n_lines") + 1).cast("int").alias("offset"),
             F.lit(0).alias("page_no"),
             F.lit(40.0).alias("x0"),
             F.lit(720.0).alias("y0"),
@@ -177,16 +188,20 @@ def documents_to_spans(
     )
 
     # assemble per layout: media first for layout 1 (scan), media last for
-    # layout 2 (text-under-image); overlay appended for layout 3
+    # layout 2 (text-under-image); overlay appended for layout 3. Offsets
+    # are dense in array order (the draw order) by construction.
     spans = (
-        F.when(F.col("layout") == 1, F.concat(media_spans, line_spans))
-        .when(F.col("layout") == 2, F.concat(line_spans, media_spans))
-        .when(F.col("layout") == 3, F.concat(line_spans, overlay_span))
-        .otherwise(line_spans)
+        F.when(
+            F.col("layout") == 1,
+            F.concat(media_spans_at(F.lit(0)), line_spans_at(F.col("n_pages"))),
+        )
+        .when(
+            F.col("layout") == 2,
+            F.concat(line_spans_at(F.lit(0)), media_spans_at(F.col("n_lines"))),
+        )
+        .when(F.col("layout") == 3, F.concat(line_spans_at(F.lit(0)), overlay_span))
+        .otherwise(line_spans_at(F.lit(0)))
     )
-
-    # re-number offsets densely in array order (the draw order)
-    spans = _renumber(spans)
 
     # materialized count: a pushdown-able predicate column so the pipeline's
     # mega-doc split never re-reads the heavy spans column; computed from the
@@ -218,24 +233,8 @@ def _h(key: Column, width: int = 4) -> Column:
     return F.conv(F.substring(F.md5(key), 1, width), 16, 10).cast("bigint")
 
 
-def _renumber(spans: Column) -> Column:
-    """Re-number offsets densely in array order (the draw order)."""
-    return F.transform(
-        spans,
-        lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            i.cast("int").alias("offset"),
-            s["page_no"].alias("page_no"),
-            s["x0"].alias("x0"),
-            s["y0"].alias("y0"),
-            s["x1"].alias("x1"),
-            s["y1"].alias("y1"),
-            s["confidence"].alias("confidence"),
-            s["orientation"].alias("orientation"),
-        ),
-    )
+# (_renumber removed in round 6: offsets are fused into the span
+# builders; see documents_to_spans)
 
 
 # word-granularity geometry: words step 36pt with 30pt glyph width, so the
@@ -289,11 +288,15 @@ def documents_to_word_spans(
         F.sequence(F.lit(0), F.col("n_words") - 1),
         lambda j: F.md5(F.concat(F.col("doc_id"), F.lit(":wd"), j.cast("string"))),
     )
-    word_spans = F.transform(word_digests, lambda dg, j: _word_span(j, dg))
-    media_spans = F.transform(
-        F.sequence(F.lit(0), F.col("n_pages") - 1), lambda p: _media_span(p)
+    # offsets fused into construction (see documents_to_spans): media
+    # spans occupy array positions 0..n_pages-1, words follow
+    word_spans = F.transform(
+        word_digests, lambda dg, j: _word_span(j, dg, F.col("n_pages") + j)
     )
-    spans = _renumber(F.concat(media_spans, word_spans))
+    media_spans = F.transform(
+        F.sequence(F.lit(0), F.col("n_pages") - 1), lambda p: _media_span(p, p)
+    )
+    spans = F.concat(media_spans, word_spans)
     return d.select(
         "doc_id",
         spans.alias("spans"),
@@ -302,9 +305,10 @@ def documents_to_word_spans(
     )
 
 
-def _word_span(j: Column, dg: Column) -> Column:
+def _word_span(j: Column, dg: Column, off: Column) -> Column:
     """One word span from the word index and its materialized md5 digest
-    (nibbles 1-4 glued-select, 5-8 confidence)."""
+    (nibbles 1-4 glued-select, 5-8 confidence); ``off`` is the span's
+    final dense array-order offset."""
     line = (j / F.lit(WORDS_PER_LINE)).cast("int")
     k = j - line * F.lit(WORDS_PER_LINE)
     page = (line / F.lit(LINES_PER_PAGE)).cast("int")
@@ -318,7 +322,7 @@ def _word_span(j: Column, dg: Column) -> Column:
         F.lit("ocr-text").alias("kind"),
         F.element_at(F.col("words"), j + 1).alias("text"),
         F.lit("").alias("media_ref"),
-        F.lit(0).alias("offset"),
+        off.cast("int").alias("offset"),
         page.alias("page_no"),
         x0.alias("x0"),
         y0.alias("y0"),
@@ -335,10 +339,11 @@ def _hslice(dg: Column, start: int) -> Column:
     return F.conv(F.substring(dg, start, 4), 16, 10).cast("bigint")
 
 
-def _line_span(i: Column, dg: Column) -> Column:
-    """One text line span as a function of the line index and the line's
+def _line_span(i: Column, dg: Column, off: Column) -> Column:
+    """One text line span as a function of the line index, the line's
     materialized md5 digest (nibbles 1-4 width, 5-8 confidence, 9-12 tilt
-    select, 13-16 tilt angle — engine-portable, see ``_h``).
+    select, 13-16 tilt angle — engine-portable, see ``_h``) and its final
+    dense array-order offset ``off``.
 
     Two-column layout per page: even pages left-column-first; line i of a
     page goes to column (local_i * 2 // LINES_PER_PAGE) — for scanned docs
@@ -372,7 +377,7 @@ def _line_span(i: Column, dg: Column) -> Column:
         kind.alias("kind"),
         text.alias("text"),
         F.lit("").alias("media_ref"),
-        F.lit(0).alias("offset"),
+        off.cast("int").alias("offset"),
         page.alias("page_no"),
         x0.alias("x0"),
         y0.alias("y0"),
@@ -459,12 +464,12 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _media_span(p: Column) -> Column:
+def _media_span(p: Column, off: Column) -> Column:
     return F.struct(
         F.lit("media").alias("kind"),
         F.lit("").alias("text"),
         F.concat(F.lit("img-"), F.col("doc_id"), F.lit("-"), p.cast("string")).alias("media_ref"),
-        F.lit(0).alias("offset"),
+        off.cast("int").alias("offset"),
         p.cast("int").alias("page_no"),
         F.lit(0.0).alias("x0"),
         F.lit(0.0).alias("y0"),
