@@ -22,11 +22,16 @@ class ExtractConfig:
     # split page-wise before the kernel and reassembled after (SURVEY §4.2).
     mega_doc_span_cutoff: int = 20_000
     # Pages per split task for mega docs. One page per task maximizes
-    # balance but pays the kernel's per-invocation Python overhead ~40-span
-    # page by ~40-span page (measured ~6ms/invocation — it dominated the
-    # split leg at 8×); grouping a run of pages amortizes it while a
-    # cutoff-size doc still fans out into ≥ cutoff/(40·K) ≈ 60 tasks.
-    mega_doc_pages_per_task: int = 8
+    # balance but pays the kernel's per-invocation overhead page by page;
+    # grouping a run of pages amortizes it. Round-4 measured
+    # ~6ms/invocation with the numpy reading-order kernel and set 8;
+    # round 6's native kernel cut the per-invocation cost ~25×, flipping
+    # the balance/overhead tradeoff — re-swept on the --mega corpus at
+    # 32 cores: 8/4/2/1 pages → 11.6/7.9/5.5/5.2s. 2 sits within ~5% of
+    # the optimum while keeping per-chunk scheduling overhead halved for
+    # narrow clusters; the split/reassemble output is bit-identical at
+    # any chunking (test_mega_doc_split_is_exact).
+    mega_doc_pages_per_task: int = 2
     # Guard replacing the reference's 10MB page-payload limit
     # (applyocr.py:34-49): pages with more candidate lines than this are
     # skipped (emit base layer only), keeping a 10^12-doc job alive. The
