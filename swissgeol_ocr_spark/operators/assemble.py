@@ -71,12 +71,21 @@ def lines_from_words(
     # per-element numpy indexing, without its dispatch cost (profiled
     # ~25% of the word-granularity kernel). np.lexsort keeps the scan
     # order authoritative (incl. its NaN-last placement).
+    x0l = rects[:, 0].tolist()
+    x1l = rects[:, 2].tolist()
     y0l = rects[:, 1].tolist()
     y1l = rects[:, 3].tolist()
     yml = ((rects[:, 1] + rects[:, 3]) / 2.0).tolist()
     order = np.lexsort((rects[:, 0], rects[:, 1])).tolist()
+    # a NaN coordinate (possible only on raw unsalvaged input) falls back
+    # to the original numpy per-line min/max + argsort, whose NaN
+    # propagation/placement is the pinned behavior; the finite-value fast
+    # path below is IEEE-identical to it
+    has_nan = bool(np.isnan(rects).any())
     lines: list[list[int]] = []
-    bands: list[list[float]] = []  # evolving [y0, y1] per line
+    # evolving [y0min, y1max, x0min, x1max] per line — the band test uses
+    # [0]/[1]; the final line rect is exactly (x0min, y0min, x1max, y1max)
+    bands: list[list[float]] = []
     for i in order:
         ymi = yml[i]
         ry0 = y0l[i]
@@ -93,24 +102,47 @@ def lines_from_words(
                     b[0] = ry0
                 if ry1 > b1:
                     b[1] = ry1
+                if x0l[i] < b[2]:
+                    b[2] = x0l[i]
+                if x1l[i] > b[3]:
+                    b[3] = x1l[i]
                 placed = True
                 break
         if not placed:
             lines.append([i])
-            bands.append([ry0, ry1])
+            bands.append([ry0, ry1, x0l[i], x1l[i]])
 
     out = []
-    for word_idx in lines:
-        wr = rects[word_idx]
-        line_rect = (
-            float(wr[:, 0].min()),
-            float(wr[:, 1].min()),
-            float(wr[:, 2].max()),
-            float(wr[:, 3].max()),
-        )
-        text = join_words([texts[i] for i in word_idx], wr)
+    for word_idx, b in zip(lines, bands):
+        if has_nan:
+            wr = rects[word_idx]
+            line_rect = (
+                float(wr[:, 0].min()),
+                float(wr[:, 1].min()),
+                float(wr[:, 2].max()),
+                float(wr[:, 3].max()),
+            )
+            text = join_words([texts[i] for i in word_idx], wr)
+        else:
+            line_rect = (b[2], b[0], b[3], b[1])
+            text = _join_words_fast(texts, word_idx, x0l, x1l)
         out.append((text, line_rect, word_idx))
     return out
+
+
+def _join_words_fast(
+    texts: list[str], word_idx: list[int], x0l: list[float], x1l: list[float]
+) -> str:
+    """join_words over precomputed coordinate lists (finite values only —
+    callers NaN-guard): same stable x0 order, same strict space rule."""
+    order = sorted(word_idx, key=x0l.__getitem__)
+    parts: list[str] = []
+    last = len(order) - 1
+    for pos, i in enumerate(order):
+        parts.append(texts[i])
+        if pos < last and x0l[order[pos + 1]] > x1l[i]:
+            parts.append(" ")
+    return "".join(parts)
 
 
 def block_text(line_texts: list[str]) -> str:

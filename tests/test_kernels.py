@@ -308,3 +308,33 @@ class TestGeom:
 
     def test_intersect_area_zero_when_disjoint(self):
         assert Rect(0, 0, 10, 10).intersect(Rect(20, 20, 30, 30)).get_area() == 0.0
+
+
+def test_lines_from_words_fast_path_matches_numpy_formulas():
+    """The finite-value fast path (running min/max line rects +
+    list-based join order) must equal the numpy per-line formulas it
+    replaced, rect-for-rect and text-for-text; a NaN coordinate must
+    take the numpy fallback (NaN-propagating rect) without crashing."""
+    import numpy as np
+
+    from swissgeol_ocr_spark.operators.assemble import join_words, lines_from_words
+
+    rng = np.random.default_rng(55)
+    for _ in range(150):
+        n = int(rng.integers(1, 50))
+        x0 = rng.uniform(0, 500, n)
+        y0 = rng.uniform(0, 700, n)
+        w = rng.uniform(1, 60, n)
+        h = rng.uniform(5, 18, n)
+        r = np.stack([x0, y0, x0 + w, y0 + h], axis=1)
+        texts = [f"w{i}" for i in range(n)]
+        for text, rect, idx in lines_from_words(texts, r):
+            wr = r[idx]
+            assert rect == (
+                float(wr[:, 0].min()), float(wr[:, 1].min()),
+                float(wr[:, 2].max()), float(wr[:, 3].max()),
+            )
+            assert text == join_words([texts[i] for i in idx], wr)
+    bad = np.array([[10.0, 10.0, 40.0, 22.0], [float("nan"), 10.0, 80.0, 22.0]])
+    out = lines_from_words(["a", "b"], bad)
+    assert len(out) == 1 and np.isnan(out[0][1][0])
