@@ -340,7 +340,13 @@ def sort_lines_indices(rects: np.ndarray) -> list[list[int]]:
     path below; SPARK_GRAFT_NO_NATIVE=1 forces the fallback.
     """
     r = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
-    if _native_sort_lines is not None:
+    # NaN geometry stays on the numpy path: numpy's minimum/maximum
+    # PROPAGATE NaN where C's ternary comparisons select an operand, so
+    # bit-parity is only contracted for finite rects (all real inputs —
+    # the salvage pass clamps repaired geometry and the corpus is finite
+    # by construction; this guard makes the contract airtight instead of
+    # probabilistic). One vectorized check per page.
+    if _native_sort_lines is not None and r.size and not np.isnan(r).any():
         res = _native_sort_lines(r)
         if res is not None:
             return res
