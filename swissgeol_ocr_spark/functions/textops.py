@@ -185,13 +185,25 @@ def minhash_band_relation(reps: DataFrame, pin: bool = True) -> DataFrame:
     is a handful of just-checkpointed rows, and an unconditional
     defaultParallelism-wide exchange would tax every micro-batch with
     near-empty tasks for data that fits one."""
+    from swissgeol_ocr_spark.exprcache import cached_cols
+
     if pin:
         reps = pin_width(reps, "doc_id")
+    # the four stage expressions are pure functions of module constants +
+    # the fixed intermediate column names, so they are built once per JVM
+    # (exprcache) instead of walking ~0.3 s of py4j calls per query build
     w = reps.select("doc_id", "n_dups", F.split("text", " ").alias("w"))
-    sh = w.select("doc_id", "n_dups", shingles_of_words(F.col("w")).alias("sh"))
-    dg = sh.select("doc_id", "n_dups", md5_digests(F.col("sh")).alias("dg"))
+    sh = w.select(
+        "doc_id", "n_dups",
+        cached_cols(("mbr", "sh"), lambda: shingles_of_words(F.col("w"))).alias("sh"),
+    )
+    dg = sh.select(
+        "doc_id", "n_dups",
+        cached_cols(("mbr", "dg"), lambda: md5_digests(F.col("sh"))).alias("dg"),
+    )
     sig = dg.select(
-        "doc_id", "n_dups", minhash_signature(F.col("dg")).alias("sig")
+        "doc_id", "n_dups",
+        cached_cols(("mbr", "sig"), lambda: minhash_signature(F.col("dg"))).alias("sig"),
     )
     # explode_outer, NOT explode: InferFiltersFromGenerate would add a
     # size()>0 filter whose pushdown inlines the full signature expression
@@ -199,7 +211,9 @@ def minhash_band_relation(reps: DataFrame, pin: bool = True) -> DataFrame:
     return sig.select(
         "doc_id",
         "n_dups",
-        F.explode_outer(lsh_band_keys(F.col("sig"))).alias("band_key"),
+        F.explode_outer(
+            cached_cols(("mbr", "band"), lambda: lsh_band_keys(F.col("sig")))
+        ).alias("band_key"),
     )
 
 

@@ -44,6 +44,16 @@ MEGA_MOD = 101
 MEGA_FACTOR = 40
 
 
+# The span-synthesis Column trees are pure functions of module constants
+# and UNRESOLVED column names (F.col — never bound to a specific
+# DataFrame), but building them walks thousands of py4j round-trips
+# (~0.85 s per call for the line corpus, measured round 6) and every
+# bench pass / streaming micro-batch rebuilds them from scratch — so
+# they are memoized per JVM via exprcache.cached_cols (ASTs only; see
+# that module's docstring for the safety argument).
+from swissgeol_ocr_spark.exprcache import cached_cols as _cached_cols
+
+
 def spans_schema_ddl() -> str:
     return (
         "array<struct<kind:string,text:string,media_ref:string,offset:int,"
@@ -118,12 +128,16 @@ def documents_to_spans(
         F.split(F.col("text"), " ").alias("words"),
     )
     if mega_docs:
+        factor = mega_factor or MEGA_FACTOR
         d = d.withColumn(
             "words",
-            F.when(
-                F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":m"))), F.lit(MEGA_MOD)) == 0,
-                F.flatten(F.array_repeat(F.col("words"), mega_factor or MEGA_FACTOR)),
-            ).otherwise(F.col("words")),
+            _cached_cols(
+                ("mega_words", factor),
+                lambda: F.when(
+                    F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":m"))), F.lit(MEGA_MOD)) == 0,
+                    F.flatten(F.array_repeat(F.col("words"), factor)),
+                ).otherwise(F.col("words")),
+            ),
         )
     d = d.withColumn(
         "layout", F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":l"))), F.lit(4)).cast("int")
@@ -133,7 +147,22 @@ def documents_to_spans(
         F.greatest(F.lit(1), F.ceil(F.size("words") / F.lit(WORDS_PER_LINE))).cast("int"),
     )
     d = d.withColumn("n_pages", (F.ceil(F.col("n_lines") / F.lit(LINES_PER_PAGE))).cast("int"))
+    spans, extra = _cached_cols(("line_spans",), _build_line_spans_cols)
+    return d.select(
+        "doc_id",
+        spans.alias("spans"),
+        (F.col("n_lines") + extra).cast("int").alias("n_spans"),
+        # routing hint consumed by plans.pipeline: layouts 1/2 are the only
+        # media-bearing classes, so the pipeline's born-digital passthrough
+        # predicate is a cheap scalar instead of an exists() over spans
+        F.col("layout").isin(1, 2).alias("has_media"),
+    )
 
+
+def _build_line_spans_cols() -> tuple[Column, Column]:
+    """The (spans, extra) Column pair of ``documents_to_spans`` — pure
+    unresolved expressions over the names doc_id/words/layout/n_lines/
+    n_pages, built once per JVM via ``_cached_cols``."""
     # ONE md5 per line, materialized as an array element first: expressions
     # referenced inside transform() lambdas re-evaluate per use (no CSE in
     # higher-order functions), so width/conf/tilt all slice nibble ranges of
@@ -142,6 +171,7 @@ def documents_to_spans(
         F.sequence(F.lit(0), F.col("n_lines") - 1),
         lambda i: F.md5(F.concat(F.col("doc_id"), F.lit(":"), i.cast("string"))),
     )
+
     # Offsets are FUSED into the struct builders (round 6): the old shape
     # built placeholder-offset structs and then `_renumber`ed the
     # concatenated array — a second full rebuild of every 11-field struct,
@@ -212,15 +242,7 @@ def documents_to_spans(
         .when(F.col("layout") == 3, F.lit(2))
         .otherwise(F.lit(0))
     )
-    return d.select(
-        "doc_id",
-        spans.alias("spans"),
-        (F.col("n_lines") + extra).cast("int").alias("n_spans"),
-        # routing hint consumed by plans.pipeline: layouts 1/2 are the only
-        # media-bearing classes, so the pipeline's born-digital passthrough
-        # predicate is a cheap scalar instead of an exists() over spans
-        F.col("layout").isin(1, 2).alias("has_media"),
-    )
+    return spans, extra
 
 
 def _h(key: Column, width: int = 4) -> Column:
@@ -271,10 +293,13 @@ def documents_to_word_spans(
     if mega_docs:
         d = d.withColumn(
             "words",
-            F.when(
-                F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":m"))), F.lit(MEGA_MOD)) == 0,
-                F.flatten(F.array_repeat(F.col("words"), MEGA_FACTOR)),
-            ).otherwise(F.col("words")),
+            _cached_cols(
+                ("mega_words", MEGA_FACTOR),
+                lambda: F.when(
+                    F.pmod(_h(F.concat(F.col("doc_id"), F.lit(":m"))), F.lit(MEGA_MOD)) == 0,
+                    F.flatten(F.array_repeat(F.col("words"), MEGA_FACTOR)),
+                ).otherwise(F.col("words")),
+            ),
         )
     d = d.withColumn("n_words", F.size("words"))
     d = d.withColumn(
@@ -284,6 +309,18 @@ def documents_to_word_spans(
             F.ceil(F.col("n_words") / F.lit(WORDS_PER_LINE * LINES_PER_PAGE)),
         ).cast("int"),
     )
+    spans = _cached_cols(("word_spans",), _build_word_spans_col)
+    return d.select(
+        "doc_id",
+        spans.alias("spans"),
+        (F.col("n_words") + F.col("n_pages")).cast("int").alias("n_spans"),
+        F.lit(True).alias("has_media"),
+    )
+
+
+def _build_word_spans_col() -> Column:
+    """The spans Column of ``documents_to_word_spans`` — pure unresolved
+    expressions over doc_id/words/n_words/n_pages, built once per JVM."""
     word_digests = F.transform(
         F.sequence(F.lit(0), F.col("n_words") - 1),
         lambda j: F.md5(F.concat(F.col("doc_id"), F.lit(":wd"), j.cast("string"))),
@@ -296,13 +333,7 @@ def documents_to_word_spans(
     media_spans = F.transform(
         F.sequence(F.lit(0), F.col("n_pages") - 1), lambda p: _media_span(p, p)
     )
-    spans = F.concat(media_spans, word_spans)
-    return d.select(
-        "doc_id",
-        spans.alias("spans"),
-        (F.col("n_words") + F.col("n_pages")).cast("int").alias("n_spans"),
-        F.lit(True).alias("has_media"),
-    )
+    return F.concat(media_spans, word_spans)
 
 
 def _word_span(j: Column, dg: Column, off: Column) -> Column:
