@@ -361,37 +361,50 @@ def jvm_passthrough(df: DataFrame) -> DataFrame:
     (extract_sequence / extract_stream) keep the sort, evaluated once in
     the same projection (guide §1.2: don't compute what the consumer
     throws away)."""
-    keyed = F.transform(
-        "spans",
-        lambda s, i: F.struct(
-            # null page/offset → 0, matching the kernel path (a null numeric
-            # field raises in the Arrow kernel → salvage maps it to 0,
-            # operators/extract.py _ints); struct sort would otherwise put
-            # nulls first and the two branches would disagree on ordering
-            F.coalesce(s["page_no"], F.lit(0)).alias("p"),
-            F.coalesce(s["offset"], F.lit(0)).alias("o"),
-            i.alias("i"),
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
-    )
-    # materialize the sorted array once (struct sort is lexicographic on
-    # (p, o, i); i is unique so later fields never compare); metrics come
-    # from the unsorted spans (same size / same distinct page set)
+    from swissgeol_ocr_spark.exprcache import cached_cols
+
+    def _build_ordered_cols():
+        keyed = F.transform(
+            "spans",
+            lambda s, i: F.struct(
+                # null page/offset → 0, matching the kernel path (a null
+                # numeric field raises in the Arrow kernel → salvage maps it
+                # to 0, operators/extract.py _ints); struct sort would
+                # otherwise put nulls first and the two branches would
+                # disagree on ordering
+                F.coalesce(s["page_no"], F.lit(0)).alias("p"),
+                F.coalesce(s["offset"], F.lit(0)).alias("o"),
+                i.alias("i"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+        # sorted array materialized once (struct sort is lexicographic on
+        # (p, o, i); i is unique so later fields never compare); metrics
+        # come from the unsorted spans (same size / same distinct page set)
+        return (
+            F.sort_array(keyed),
+            F.size("spans").cast("int"),
+            F.size(
+                F.array_distinct(
+                    F.transform("spans", lambda s: F.coalesce(s["page_no"], F.lit(0)))
+                )
+            ).cast("int"),
+        )
+
+    # pure ASTs over the fixed names spans/_ord — built once per JVM
+    # (exprcache), not per query build
+    ord_col, n_col, np_col = cached_cols(("pt", "ordered"), _build_ordered_cols)
     ordered = df.select(
         "doc_id",
-        F.sort_array(keyed).alias("_ord"),
-        F.size("spans").cast("int").alias("_n"),
-        F.size(
-            F.array_distinct(
-                F.transform("spans", lambda s: F.coalesce(s["page_no"], F.lit(0)))
-            )
-        ).cast("int").alias("_np"),
+        ord_col.alias("_ord"),
+        n_col.alias("_n"),
+        np_col.alias("_np"),
     )
-    return ordered.select(
-        "doc_id",
-        F.transform(
+    spans_out = cached_cols(
+        ("pt", "spans_out"),
+        lambda: F.transform(
             "_ord",
             lambda s, i: F.struct(
                 s["kind"].alias("kind"),
@@ -399,7 +412,11 @@ def jvm_passthrough(df: DataFrame) -> DataFrame:
                 s["media_ref"].alias("media_ref"),
                 i.cast("int").alias("offset"),
             ),
-        ).alias("spans_out"),
+        ),
+    )
+    return ordered.select(
+        "doc_id",
+        spans_out.alias("spans_out"),
         F.col("_n").alias("n_spans_in"),
         F.col("_n").alias("n_spans_out"),
         F.col("_np").alias("n_pages"),
