@@ -56,6 +56,49 @@ def test_t_schema_memo_invalidates_on_rewrite(spark, tmp_path):
     assert second.select("extra").first()[0] == 9
 
 
+def test_memoized_columns_survive_session_restart():
+    """bench.py --scaling stops and recreates the SparkSession inside one
+    Python process: memoized Columns must stay valid across the restart
+    (the py4j gateway JVM persists for the life of the process). Run in a
+    SUBPROCESS so the session-scoped test fixture is untouched."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, %r)
+        from pyspark.sql import SparkSession
+        from swissgeol_ocr_spark.plans.pipeline import configure_spark
+        from swissgeol_ocr_spark.sources.corpus import documents_to_spans
+
+        def run(master):
+            spark = configure_spark(
+                SparkSession.builder.master(master)
+                .config("spark.ui.enabled", "false")
+                .config("spark.sql.shuffle.partitions", "4")
+            ).getOrCreate()
+            docs = spark.createDataFrame(
+                [(i, f"word{i} " * 25) for i in range(12)],
+                "doc_id long, text string")
+            out = sorted((r.doc_id, r.n_spans) for r in
+                         documents_to_spans(docs, pre_partition=False).collect())
+            spark.stop()
+            return out
+
+        a = run("local[2]")   # populates the AST memo
+        b = run("local[3]")   # new session, same process, memo reused
+        assert a == b and len(a) == 12, (a, b)
+        print("RESTART_OK")
+        """
+    ) % (str(__import__("pathlib").Path(__file__).resolve().parents[1]),)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+    )
+    assert "RESTART_OK" in res.stdout, res.stdout + res.stderr
+
+
 def test_t_self_join_keeps_fresh_expr_ids(spark, tmp_path):
     """_t returns a FRESH DataFrame per call (only the schema is shared):
     joining two _t reads of the same table must behave like two
