@@ -70,10 +70,15 @@ _T_SCHEMA_CACHE: dict = {}
 def _parquet_fingerprint(path: str):
     ap = os.path.realpath(path)
     if os.path.isdir(ap):
-        return ap, tuple(sorted(
-            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-            for e in os.scandir(ap)
-        ))
+        entries = []
+        for e in os.scandir(ap):
+            entries.append((e.name, e.stat().st_size, e.stat().st_mtime_ns))
+            if len(entries) > 4096:
+                # a table with thousands of local part files would pay more
+                # for the fingerprint walk than inference saves — opt out
+                # (OSError takes the plain inferring-read path)
+                raise OSError("too many entries to fingerprint")
+        return ap, tuple(sorted(entries))
     st = os.stat(ap)
     return ap, (st.st_size, st.st_mtime_ns)
 
