@@ -32,7 +32,12 @@ def cached_cols(key, builder):
     """
     from pyspark import SparkContext
 
-    k = (id(SparkContext._gateway), key)
+    # the key holds the gateway OBJECT (hashable by identity), not its
+    # id(): a torn-down-and-relaunched gateway in one process could reuse
+    # the freed object's address, and an id-keyed entry would then serve
+    # Columns bound to the dead JVM. The reference keeps the old gateway
+    # distinct (and alive — bounded: gateways per process are ~1).
+    k = (SparkContext._gateway, key)
     c = _EXPR_CACHE.get(k)
     if c is None:
         c = builder()

@@ -71,24 +71,42 @@ def _parquet_fingerprint(path: str):
     ap = os.path.realpath(path)
     if os.path.isdir(ap):
         entries = []
-        for e in os.scandir(ap):
-            entries.append((e.name, e.stat().st_size, e.stat().st_mtime_ns))
-            if len(entries) > 4096:
-                # a table with thousands of local part files would pay more
-                # for the fingerprint walk than inference saves — opt out
-                # (OSError takes the plain inferring-read path)
-                raise OSError("too many entries to fingerprint")
+        with os.scandir(ap) as it:   # close the fd on every exit path
+            for e in it:
+                if e.is_dir():
+                    # nested (partitioned) layout: an in-place rewrite
+                    # inside a subdirectory would not move any top-level
+                    # size/mtime, so the flat fingerprint cannot see it —
+                    # opt out (OSError takes the plain inferring read)
+                    raise OSError("nested layout — not fingerprintable flat")
+                entries.append((e.name, e.stat().st_size, e.stat().st_mtime_ns))
+                if len(entries) > 4096:
+                    # a table with thousands of local part files would pay
+                    # more for the fingerprint walk than inference saves
+                    raise OSError("too many entries to fingerprint")
         return ap, tuple(sorted(entries))
     st = os.stat(ap)
     return ap, (st.st_size, st.st_mtime_ns)
 
 
+# session confs that change what parquet schema inference RETURNS for the
+# same file — they must be part of the memo key or a differently-configured
+# session in the same process would be served the other session's types
+_T_INFER_CONFS = (
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.caseSensitive",
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
-        key = _parquet_fingerprint(path)
+        fp = _parquet_fingerprint(path)
     except OSError:
         return spark.read.parquet(path)
+    key = (fp, tuple(spark.conf.get(c, None) for c in _T_INFER_CONFS))
     schema = _T_SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
